@@ -1,0 +1,132 @@
+"""Train Instant-NGP with an occupancy grid.
+
+TPU-native equivalent of reference examples/train_ngp_nerf_occ.py.  With
+--data_root pointing at nerf_synthetic data it trains the blender scenes;
+without data it falls back to the self-contained procedural benchmark scene
+(see nerfacc_tpu/data/procedural.py).
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+NERF_SYNTHETIC_SCENES = [
+    "chair", "drums", "ficus", "hotdog", "lego", "materials", "mic", "ship",
+]
+
+
+def round_to_bucket(n: int, buckets) -> int:
+    """Quantize the dynamic ray batch to bounded buckets (avoids XLA
+    recompile storms; the reference resizes freely every step,
+    train_ngp_nerf_occ.py:187-194)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--scene", type=str, default="lego")
+    parser.add_argument("--train_split", type=str, default="train")
+    parser.add_argument("--max_steps", type=int, default=20000)
+    parser.add_argument("--target_sample_batch_size", type=int, default=1 << 18)
+    parser.add_argument("--init_batch_size", type=int, default=1024)
+    parser.add_argument("--eval_every", type=int, default=0)
+    parser.add_argument("--log_every", type=int, default=1000)
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args()
+
+    import jax
+
+    from nerfacc_tpu.models import NGPRadianceField
+    from nerfacc_tpu.trainers import NGPOccTrainer
+
+    if args.data_root is not None:
+        from nerfacc_tpu.data import SubjectLoader
+
+        aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
+        train_dataset = SubjectLoader(
+            subject_id=args.scene,
+            root_fp=args.data_root,
+            split=args.train_split,
+            num_rays=args.init_batch_size,
+            seed=args.seed,
+        )
+        test_dataset = SubjectLoader(
+            subject_id=args.scene, root_fp=args.data_root, split="test"
+        )
+        weight_decay = (
+            1e-5 if args.scene in ["materials", "ficus", "drums"] else 1e-6
+        )
+    else:
+        from nerfacc_tpu.data import ProceduralSceneLoader
+
+        aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
+        train_dataset = ProceduralSceneLoader(
+            split="train", num_rays=args.init_batch_size, seed=args.seed
+        )
+        test_dataset = ProceduralSceneLoader(split="test")
+        weight_decay = 1e-6
+
+    field = NGPRadianceField(aabb=tuple(aabb))
+    trainer = NGPOccTrainer(
+        field=field,
+        aabb=aabb,
+        max_steps=args.max_steps,
+        render_step_size=5e-3,
+        weight_decay=weight_decay,
+        sample_budget=args.target_sample_batch_size,
+        max_samples_per_ray=1024,
+        seed=args.seed,
+    )
+    state = trainer.init_state()
+
+    buckets = [1024 * 2**i for i in range(8)]  # 1k .. 128k rays
+    rng = np.random.default_rng(args.seed)
+    tic = time.time()
+    samples_done = 0
+    for step in range(args.max_steps + 1):
+        data = train_dataset[int(rng.integers(0, len(train_dataset)))]
+        state, aux = trainer.train_step(state, data)
+
+        n_samples = int(aux["n_rendering_samples"])
+        n_total = int(aux["n_total_samples"])
+        samples_done += n_samples
+        if n_samples == 0:
+            continue
+        if args.target_sample_batch_size > 0:
+            num_rays = len(data["rgb"])
+            num_rays = int(
+                num_rays * (args.target_sample_batch_size / float(n_total))
+            )
+            train_dataset.update_num_rays(round_to_bucket(num_rays, buckets))
+
+        if step % args.log_every == 0:
+            jax.block_until_ready(state.params)
+            elapsed = time.time() - tic
+            mse = float(aux["mse"])
+            psnr = -10.0 * np.log10(max(mse, 1e-10))
+            print(
+                f"elapsed_time={elapsed:.2f}s | step={step} | "
+                f"loss={float(aux['loss']):.5f} | psnr={psnr:.2f} | "
+                f"n_rendering_samples={n_samples} | "
+                f"num_rays={len(data['rgb'])} | "
+                f"samples/s={samples_done / max(elapsed, 1e-9):.3g}"
+            )
+
+        if args.eval_every and step > 0 and step % args.eval_every == 0:
+            psnr_avg = trainer.eval_psnr(state, test_dataset)
+            print(f"evaluation: step={step} psnr_avg={psnr_avg:.2f}")
+
+    psnr_avg = trainer.eval_psnr(state, test_dataset)
+    print(f"evaluation: psnr_avg={psnr_avg:.2f}")
+
+
+if __name__ == "__main__":
+    main()

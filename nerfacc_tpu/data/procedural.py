@@ -1,0 +1,238 @@
+"""Procedural benchmark scene: an analytic radiance field rendered to
+ground-truth images.
+
+There is no image dataset baked into the benchmark environment, so the
+training benchmark uses a self-contained synthetic scene: a set of colored
+Gaussian density blobs inside the unit region, rendered to ground-truth
+images by dense analytic ray integration.  This exercises exactly the same
+pipeline as the reference's nerf_synthetic training (random-ray batches,
+alpha-composited backgrounds, PSNR eval) with a known-learnable target.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _look_at(eye: np.ndarray, center: np.ndarray, up: np.ndarray) -> np.ndarray:
+    """OpenGL-style camera-to-world matrix (camera looks down -z)."""
+    f = center - eye
+    f = f / np.linalg.norm(f)
+    s = np.cross(f, up)
+    s = s / np.linalg.norm(s)
+    u = np.cross(s, f)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = s
+    c2w[:3, 1] = u
+    c2w[:3, 2] = -f
+    c2w[:3, 3] = eye
+    return c2w
+
+
+class ProceduralSceneLoader:
+    """Analytic-blob scene with the SubjectLoader interface.
+
+    Args:
+        num_blobs: number of Gaussian density blobs.
+        n_train / n_test: camera counts (poses on a sphere, look-at origin).
+        width / height: image resolution.
+        num_rays: train-mode ray batch (None = full images).
+    """
+
+    NEAR, FAR = 2.0, 6.0
+    OPENGL_CAMERA = True
+
+    def __init__(
+        self,
+        split: str = "train",
+        num_blobs: int = 24,
+        n_train: int = 24,
+        n_test: int = 4,
+        width: int = 320,
+        height: int = 320,
+        num_rays: Optional[int] = None,
+        color_bkgd_aug: str = "white",
+        seed: int = 42,
+        aabb_half: float = 1.2,
+        gt_samples: int = 512,
+    ):
+        self.split = split
+        self.WIDTH, self.HEIGHT = width, height
+        self.num_rays = num_rays
+        self.training = num_rays is not None and split == "train"
+        self.color_bkgd_aug = color_bkgd_aug
+        self.rng = np.random.default_rng(seed)
+        self.aabb = np.array(
+            [-aabb_half] * 3 + [aabb_half] * 3, dtype=np.float32
+        )
+
+        rng = np.random.default_rng(1234)  # scene is fixed across seeds
+        self.blob_centers = jnp.asarray(
+            rng.uniform(-0.8 * aabb_half, 0.8 * aabb_half, (num_blobs, 3)),
+            jnp.float32,
+        )
+        self.blob_scales = jnp.asarray(
+            rng.uniform(0.05, 0.22, (num_blobs,)), jnp.float32
+        )
+        self.blob_density = jnp.asarray(
+            rng.uniform(20.0, 80.0, (num_blobs,)), jnp.float32
+        )
+        self.blob_colors = jnp.asarray(
+            rng.uniform(0.1, 1.0, (num_blobs, 3)), jnp.float32
+        )
+
+        n_views = n_train if split == "train" else n_test
+        phase = 0.0 if split == "train" else 0.5 / max(n_test, 1)
+        radius = 4.0
+        poses = []
+        for i in range(n_views):
+            theta = 2 * np.pi * (i / n_views + phase)
+            phi = np.deg2rad(-30.0 + 20.0 * np.sin(3 * theta))
+            eye = radius * np.array(
+                [
+                    np.cos(theta) * np.cos(phi),
+                    np.sin(theta) * np.cos(phi),
+                    np.sin(phi),
+                ]
+            )
+            poses.append(
+                _look_at(eye.astype(np.float32), np.zeros(3), np.array([0, 0, 1.0]))
+            )
+        self.camtoworlds = np.stack(poses).astype(np.float32)
+
+        self.focal = 0.5 * width / np.tan(0.5 * np.deg2rad(50.0))
+        self.K = np.array(
+            [
+                [self.focal, 0, width / 2.0],
+                [0, self.focal, height / 2.0],
+                [0, 0, 1],
+            ],
+            dtype=np.float32,
+        )
+        self._gt_samples = gt_samples
+        self.images = self._render_gt_images()
+
+    # -- analytic field -----------------------------------------------------
+    def query_density(self, x: jnp.ndarray) -> jnp.ndarray:
+        """sigma(x): sum of Gaussian blobs. (N, 3) -> (N, 1)."""
+        d2 = jnp.sum(
+            (x[:, None, :] - self.blob_centers[None]) ** 2, axis=-1
+        )  # (N, B)
+        contrib = self.blob_density * jnp.exp(
+            -0.5 * d2 / self.blob_scales**2
+        )
+        return jnp.sum(contrib, axis=-1, keepdims=True)
+
+    def query_rgb(self, x: jnp.ndarray) -> jnp.ndarray:
+        d2 = jnp.sum(
+            (x[:, None, :] - self.blob_centers[None]) ** 2, axis=-1
+        )
+        w = self.blob_density * jnp.exp(-0.5 * d2 / self.blob_scales**2)
+        w = w / jnp.clip(jnp.sum(w, axis=-1, keepdims=True), min=1e-8)
+        return w @ self.blob_colors
+
+    # -- ground-truth rendering --------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _render_rays_gt(self, rays_o, rays_d):
+        n = self._gt_samples
+        t = jnp.linspace(self.NEAR, self.FAR, n + 1)
+        t0, t1 = t[:-1], t[1:]
+        tm = 0.5 * (t0 + t1)
+        pos = rays_o[:, None, :] + tm[None, :, None] * rays_d[:, None, :]
+        flat = pos.reshape(-1, 3)
+        sigma = self.query_density(flat).reshape(pos.shape[:2])
+        rgb = self.query_rgb(flat).reshape(pos.shape[:2] + (3,))
+        dt = (t1 - t0)[None, :]
+        alpha = 1.0 - jnp.exp(-sigma * dt)
+        trans = jnp.exp(-jnp.cumsum(sigma * dt, axis=-1) + sigma * dt)
+        weights = trans * alpha
+        color = jnp.sum(weights[..., None] * rgb, axis=1)
+        opacity = jnp.sum(weights, axis=1, keepdims=True)
+        return color, opacity
+
+    def _render_gt_images(self) -> np.ndarray:
+        imgs = []
+        x, y = np.meshgrid(
+            np.arange(self.WIDTH), np.arange(self.HEIGHT), indexing="xy"
+        )
+        x, y = x.reshape(-1), y.reshape(-1)
+        for i in range(len(self.camtoworlds)):
+            o, d = self._rays_for_pixels(np.full_like(x, i), x, y)
+            colors, opacities = [], []
+            chunk = 65536
+            for s in range(0, len(x), chunk):
+                c, a = self._render_rays_gt(
+                    jnp.asarray(o[s : s + chunk]), jnp.asarray(d[s : s + chunk])
+                )
+                colors.append(np.asarray(c))
+                opacities.append(np.asarray(a))
+            color = np.concatenate(colors)
+            opacity = np.concatenate(opacities)
+            rgba = np.concatenate([color, opacity], axis=-1)
+            imgs.append(
+                (rgba.reshape(self.HEIGHT, self.WIDTH, 4) * 255).clip(0, 255)
+            )
+        return np.stack(imgs).astype(np.uint8)
+
+    # -- SubjectLoader interface -------------------------------------------
+    def __len__(self):
+        return len(self.images)
+
+    def update_num_rays(self, num_rays: int) -> None:
+        self.num_rays = num_rays
+
+    def _rays_for_pixels(self, image_id, x, y):
+        c2w = self.camtoworlds[image_id]
+        camera_dirs = np.stack(
+            [
+                (x + 0.5 - self.K[0, 2]) / self.K[0, 0],
+                (y + 0.5 - self.K[1, 2]) / self.K[1, 1] * -1.0,
+                np.full_like(x, -1.0, dtype=np.float32),
+            ],
+            axis=-1,
+        )
+        directions = (camera_dirs[..., None, :] * c2w[..., :3, :3]).sum(-1)
+        origins = np.broadcast_to(c2w[..., :3, -1], directions.shape)
+        viewdirs = directions / np.linalg.norm(
+            directions, axis=-1, keepdims=True
+        )
+        return origins.astype(np.float32), viewdirs.astype(np.float32)
+
+    def __getitem__(self, index: int):
+        if self.training:
+            num_rays = self.num_rays
+            image_id = self.rng.integers(0, len(self.images), size=(num_rays,))
+            x = self.rng.integers(0, self.WIDTH, size=(num_rays,))
+            y = self.rng.integers(0, self.HEIGHT, size=(num_rays,))
+            rgba = self.images[image_id, y, x].astype(np.float32) / 255.0
+            origins, viewdirs = self._rays_for_pixels(image_id, x, y)
+            if self.color_bkgd_aug == "random":
+                color_bkgd = self.rng.random(3, dtype=np.float32)
+            elif self.color_bkgd_aug == "white":
+                color_bkgd = np.ones(3, np.float32)
+            else:
+                color_bkgd = np.zeros(3, np.float32)
+        else:
+            image_id = index
+            x, y = np.meshgrid(
+                np.arange(self.WIDTH), np.arange(self.HEIGHT), indexing="xy"
+            )
+            x, y = x.reshape(-1), y.reshape(-1)
+            rgba = self.images[image_id, y, x].astype(np.float32) / 255.0
+            origins, viewdirs = self._rays_for_pixels(
+                np.full_like(x, image_id), x, y
+            )
+            color_bkgd = np.ones(3, np.float32)
+
+        pixels, alpha = rgba[..., :3], rgba[..., 3:]
+        pixels = pixels * alpha + color_bkgd * (1.0 - alpha)
+        return {
+            "rgb": pixels,
+            "rays_o": origins,
+            "rays_d": viewdirs,
+            "color_bkgd": color_bkgd,
+        }

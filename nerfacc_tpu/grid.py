@@ -1,0 +1,425 @@
+"""Ray-AABB intersection and multi-level occupancy-grid traversal.
+
+TPU-native redesign of the reference's CUDA DDA traversal
+(reference: nerfacc/grid.py:13-237, cuda/csrc/grid.cu:23-519,
+cuda/csrc/include/utils_grid.cuh:10-142).
+
+Key insight that replaces the sequential per-ray DDA with a fully-parallel
+formulation: when ``step_size > 0``, the reference kernel only ever advances
+its marching variable by ``dt = clamp(t * cone_angle, step_size, 1e10)``
+(grid.cu:23-28, 157-162, 199-204, 213-216) — both when skipping empty space
+and when emitting samples.  The marching therefore follows the *deterministic
+orbit* ``t_{k+1} = t_k + dt(t_k)`` starting at the near plane, and occupancy
+only decides **which** lattice points are emitted.  A lattice point ``k`` is
+emitted iff its midpoint ``m_k = (t_k + t_{k+1}) / 2`` falls (a) inside a
+valid grid segment of the sorted ray/grid-intersection event list
+(grid.cu:129-151) and (b) inside an occupied voxel of that segment's grid
+level (grid.cu:184-261).
+
+So instead of a divergent while-loop per ray we evaluate **all candidates in
+parallel**: a ``(n_rays, max_samples)`` lattice, one gather into the binary
+grid per candidate, one mask.  Static shapes, VPU-friendly, no scalar loops.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .data_specs import RayIntervals, RaySamples
+
+
+def ray_aabb_intersect(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    aabbs: jnp.ndarray,
+    near_plane: float = -float("inf"),
+    far_plane: float = float("inf"),
+    miss_value: float = float("inf"),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Ray-AABB intersection via the slab method.
+
+    (reference: nerfacc/grid.py:13-51, cuda/csrc/grid.cu:284-313,
+    utils_grid.cuh:10-55).  One broadcasted ``(n_rays, m)`` evaluation — no
+    kernel needed on TPU.
+
+    Args:
+        rays_o: (n_rays, 3) ray origins.
+        rays_d: (n_rays, 3) normalized ray directions.
+        aabbs: (m, 6) axis-aligned boxes {xmin, ymin, zmin, xmax, ymax, zmax}.
+        near_plane / far_plane: clamp range for hit distances.
+        miss_value: fill value for missed pairs.
+
+    Returns:
+        t_mins (n_rays, m), t_maxs (n_rays, m), hits (n_rays, m) bool.
+    """
+    assert rays_o.ndim == 2 and rays_o.shape[-1] == 3
+    assert rays_d.ndim == 2 and rays_d.shape[-1] == 3
+    assert aabbs.ndim == 2 and aabbs.shape[-1] == 6
+
+    aabb_min = aabbs[:, :3]  # (m, 3)
+    aabb_max = aabbs[:, 3:]
+
+    inv_dir = 1.0 / rays_d  # inf where dir == 0, matching CUDA semantics
+    t1 = (aabb_min[None, :, :] - rays_o[:, None, :]) * inv_dir[:, None, :]
+    t2 = (aabb_max[None, :, :] - rays_o[:, None, :]) * inv_dir[:, None, :]
+
+    t_mins = jnp.max(jnp.minimum(t1, t2), axis=-1)  # (n, m)
+    t_maxs = jnp.min(jnp.maximum(t1, t2), axis=-1)
+
+    # CUDA path: hit iff slabs overlap and tmax > 0 (utils_grid.cuh:34-50).
+    hits = (t_maxs > t_mins) & (t_maxs > 0)
+
+    t_mins = jnp.clip(t_mins, near_plane, far_plane)
+    t_maxs = jnp.clip(t_maxs, near_plane, far_plane)
+
+    t_mins = jnp.where(hits, t_mins, miss_value)
+    t_maxs = jnp.where(hits, t_maxs, miss_value)
+    return t_mins, t_maxs, hits
+
+
+# Pure-array traversal result: the padded/static-shape native layout.
+class TraversalResult(NamedTuple):
+    """Fixed-shape traversal output.
+
+    Attributes:
+        t_edges: (n_rays, max_samples + 1) the marching lattice; candidate
+            interval ``k`` is ``[t_edges[k], t_edges[k+1]]``.
+        valid: (n_rays, max_samples) bool; candidate ``k`` was emitted.
+        termination_planes: (n_rays,) resume point for iterative rendering
+            (the lattice value right after the last processed candidate).
+        terminated: (n_rays,) bool; the ray's traversal finished inside this
+            candidate window (no more samples beyond it).
+    """
+
+    t_edges: jnp.ndarray
+    valid: jnp.ndarray
+    termination_planes: jnp.ndarray
+    terminated: jnp.ndarray
+
+    @property
+    def t_starts(self) -> jnp.ndarray:
+        return self.t_edges[:, :-1]
+
+    @property
+    def t_ends(self) -> jnp.ndarray:
+        return self.t_edges[:, 1:]
+
+    @property
+    def t_mids(self) -> jnp.ndarray:
+        return 0.5 * (self.t_edges[:, :-1] + self.t_edges[:, 1:])
+
+
+def _march_lattice(
+    near_planes: jnp.ndarray, step_size: float, cone_angle: float, n_edges: int
+) -> jnp.ndarray:
+    """Closed form of the reference's marching orbit (grid.cu:23-28).
+
+    ``t_{k+1} = t_k + clamp(t_k * cone_angle, step_size, 1e10)``: linear steps
+    of ``step_size`` while ``t < step_size / cone_angle``, geometric growth by
+    ``(1 + cone_angle)`` afterwards.
+
+    Returns:
+        (n_rays, n_edges) lattice values, ``t_0 = near_plane``.
+    """
+    k = jnp.arange(n_edges, dtype=near_planes.dtype)[None, :]
+    near = near_planes[:, None]
+    if cone_angle <= 0.0:
+        return near + k * step_size
+    tau = step_size / cone_angle
+    n_lin = jnp.clip(jnp.ceil((tau - near) / step_size), min=0.0)
+    t_lin_end = near + n_lin * step_size
+    linear = near + k * step_size
+    geom = t_lin_end * jnp.power(1.0 + cone_angle, jnp.maximum(k - n_lin, 0.0))
+    return jnp.where(k <= n_lin, linear, geom)
+
+
+def _grid_segments(
+    t_sorted: jnp.ndarray,
+    t_indices: jnp.ndarray,
+    hits: jnp.ndarray,
+    near_planes: jnp.ndarray,
+    far_planes: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Resolve the sorted entry/exit event list into disjoint grid segments.
+
+    Vectorized replay of the event-walk in grid.cu:129-151: between
+    consecutive sorted events lies one segment; it is traversed with the grid
+    level of the entering event, or — after a leaving event — with the level
+    of the *next* event if that one is also a leaving event of a hit grid.
+
+    Args:
+        t_sorted: (n_rays, 2m) sorted intersection distances.
+        t_indices: (n_rays, 2m) argsort indices (< m: entering grid ``i``;
+            >= m: leaving grid ``i - m``).
+        hits: (n_rays, m) hit flags.
+
+    Returns:
+        seg_lo, seg_hi (n_rays, 2m-1), seg_level int32, seg_valid bool.
+    """
+    n_rays, two_m = t_sorted.shape
+    m = two_m // 2
+
+    ev_level = (t_indices % m).astype(jnp.int32)  # (n, 2m)
+    ev_entering = t_indices < m
+    ev_hit = jnp.take_along_axis(hits, ev_level, axis=-1)
+
+    lev_this = ev_level[:, :-1]
+    lev_next = ev_level[:, 1:]
+    entering_this = ev_entering[:, :-1]
+    entering_next = ev_entering[:, 1:]
+    hit_this = ev_hit[:, :-1]
+    hit_next = ev_hit[:, 1:]
+
+    # Entering a hit grid -> segment belongs to it.  Leaving a hit grid with
+    # the next event also a leave of a hit grid -> still inside that grid.
+    seg_valid = jnp.where(
+        entering_this,
+        hit_this,
+        hit_this & (~entering_next) & hit_next,
+    )
+    seg_level = jnp.where(entering_this, lev_this, lev_next)
+
+    seg_lo = jnp.maximum(t_sorted[:, :-1], near_planes[:, None])
+    seg_hi = jnp.minimum(t_sorted[:, 1:], far_planes[:, None])
+    seg_valid = seg_valid & (seg_lo < seg_hi)
+    return seg_lo, seg_hi, seg_level, seg_valid
+
+
+def _occupancy_lookup(
+    pos: jnp.ndarray,
+    level: jnp.ndarray,
+    binaries: jnp.ndarray,
+    aabbs: jnp.ndarray,
+) -> jnp.ndarray:
+    """Gather the binary occupancy of ``pos`` at per-sample grid ``level``.
+
+    Direct voxel-index computation replaces the reference's incremental DDA
+    cell stepping (utils_grid.cuh:58-142): the sample's voxel is simply
+    ``floor((pos - lo) / (hi - lo) * res)`` in its level's AABB.
+    """
+    m = binaries.shape[0]
+    res = jnp.asarray(binaries.shape[1:], dtype=pos.dtype)
+    lo = aabbs[level, :3]  # (..., 3)
+    hi = aabbs[level, 3:]
+    u = (pos - lo) / (hi - lo)
+    idx = jnp.clip(
+        jnp.floor(u * res).astype(jnp.int32),
+        0,
+        jnp.asarray(binaries.shape[1:], dtype=jnp.int32) - 1,
+    )
+    rx, ry, rz = binaries.shape[1:]
+    flat = ((level * rx + idx[..., 0]) * ry + idx[..., 1]) * rz + idx[..., 2]
+    return jnp.take(binaries.reshape(-1), flat)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("step_size", "cone_angle", "max_samples", "valid_samples_limit"),
+)
+def traverse_grids_padded(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    binaries: jnp.ndarray,
+    aabbs: jnp.ndarray,
+    near_planes: Optional[jnp.ndarray] = None,
+    far_planes: Optional[jnp.ndarray] = None,
+    step_size: float = 1e-3,
+    cone_angle: float = 0.0,
+    max_samples: int = 1024,
+    rays_mask: Optional[jnp.ndarray] = None,
+    valid_samples_limit: Optional[int] = None,
+) -> TraversalResult:
+    """Traverse multiple occupancy grids — padded/static-shape fast path.
+
+    Fully-parallel equivalent of the reference's ``traverse_grids`` with
+    ``step_size > 0`` (grid.cu:68-282): evaluates all ``max_samples``
+    marching-lattice candidates per ray at once (see module docstring for the
+    equivalence argument).
+
+    Args:
+        rays_o, rays_d: (n_rays, 3).
+        binaries: (m, resx, resy, resz) bool occupancy.
+        aabbs: (m, 6).
+        near_planes / far_planes: (n_rays,), defaults 0 / +inf.
+        step_size: marching step (> 0).
+        cone_angle: linear step growth; 0 = uniform stepping.
+        max_samples: static number of lattice candidates per ray.
+        rays_mask: optional (n_rays,) bool; skip rays where False.
+        valid_samples_limit: optional static cap on *emitted* samples per ray
+            (the reference's ``traverse_steps_limit``, grid.cu:184,208).
+
+    Returns:
+        A :class:`TraversalResult`.
+    """
+    assert step_size > 0.0, "use traverse_grids_voxel for step_size <= 0"
+    n_rays = rays_o.shape[0]
+    dtype = rays_o.dtype
+    if near_planes is None:
+        near_planes = jnp.zeros((n_rays,), dtype)
+    if far_planes is None:
+        far_planes = jnp.full((n_rays,), jnp.inf, dtype)
+
+    t_mins, t_maxs, hits = ray_aabb_intersect(rays_o, rays_d, aabbs)
+    t_cat = jnp.concatenate([t_mins, t_maxs], axis=-1)
+    t_indices = jnp.argsort(t_cat, axis=-1, stable=True)
+    t_sorted = jnp.take_along_axis(t_cat, t_indices, axis=-1)
+
+    seg_lo, seg_hi, seg_level, seg_valid = _grid_segments(
+        t_sorted, t_indices, hits, near_planes, far_planes
+    )
+
+    t_edges = _march_lattice(near_planes, step_size, cone_angle, max_samples + 1)
+    t_mids = 0.5 * (t_edges[:, :-1] + t_edges[:, 1:])  # (n, K)
+
+    # Which segment contains each candidate midpoint?  Segments are disjoint,
+    # so a masked sum selects the unique owner.  n_segments = 2m-1 <= 15.
+    inside_any = jnp.zeros(t_mids.shape, dtype=bool)
+    level = jnp.zeros(t_mids.shape, dtype=jnp.int32)
+    n_segments = seg_lo.shape[-1]
+    for j in range(n_segments):
+        inside_j = (
+            seg_valid[:, j : j + 1]
+            & (t_mids >= seg_lo[:, j : j + 1])
+            & (t_mids < seg_hi[:, j : j + 1])
+        )
+        inside_any = inside_any | inside_j
+        level = jnp.where(inside_j, seg_level[:, j : j + 1], level)
+
+    pos = rays_o[:, None, :] + t_mids[..., None] * rays_d[:, None, :]
+    occupied = _occupancy_lookup(pos, level, binaries, aabbs)
+    valid = inside_any & occupied
+
+    if rays_mask is not None:
+        valid = valid & rays_mask[:, None]
+
+    if valid_samples_limit is not None:
+        n_before = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - valid.astype(
+            jnp.int32
+        )
+        valid = valid & (n_before < valid_samples_limit)
+
+    # Termination plane: the lattice point right after the last processed
+    # candidate (grid.cu:274-275).  Natural end = first lattice edge whose
+    # midpoint clears the farthest valid segment; clamped into the window.
+    t_hi_last = jnp.max(
+        jnp.where(seg_valid, seg_hi, -jnp.inf), axis=-1
+    )  # (n,)
+    beyond = t_mids >= t_hi_last[:, None]  # candidates past all segments
+    k_natural = jnp.argmax(beyond, axis=-1)  # first True, or 0 if none
+    any_beyond = jnp.any(beyond, axis=-1)
+    k_stop = jnp.where(any_beyond, k_natural, valid.shape[1])
+    if valid_samples_limit is not None:
+        total_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
+        hit_limit = total_valid >= valid_samples_limit
+        # index right after the limit-th valid sample
+        reached = jnp.cumsum(valid.astype(jnp.int32), axis=-1) >= valid_samples_limit
+        k_limit = jnp.argmax(reached, axis=-1) + 1
+        k_stop = jnp.where(hit_limit, jnp.minimum(k_stop, k_limit), k_stop)
+    terminated = k_stop < valid.shape[1]
+    has_any_segment = jnp.any(seg_valid, axis=-1)
+    termination_planes = jnp.take_along_axis(
+        t_edges, jnp.minimum(k_stop, valid.shape[1])[:, None], axis=-1
+    )[:, 0]
+    termination_planes = jnp.where(
+        has_any_segment, termination_planes, near_planes
+    )
+    terminated = jnp.where(has_any_segment, terminated, True)
+    if rays_mask is not None:
+        termination_planes = jnp.where(
+            rays_mask, termination_planes, near_planes
+        )
+
+    return TraversalResult(t_edges, valid, termination_planes, terminated)
+
+
+def traverse_grids(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    binaries: jnp.ndarray,
+    aabbs: jnp.ndarray,
+    near_planes: Optional[jnp.ndarray] = None,
+    far_planes: Optional[jnp.ndarray] = None,
+    step_size: float = 1e-3,
+    cone_angle: float = 0.0,
+    traverse_steps_limit: Optional[int] = None,
+    over_allocate: bool = False,
+    rays_mask: Optional[jnp.ndarray] = None,
+    max_samples: int = 1024,
+) -> Tuple[RayIntervals, RaySamples, jnp.ndarray]:
+    """Reference-compatible wrapper around :func:`traverse_grids_padded`.
+
+    Returns padded-layout :class:`RayIntervals` / :class:`RaySamples` whose
+    ``is_left`` / ``is_right`` / ``is_valid`` masks carry the emission
+    pattern, mirroring the shared-edge encoding of the reference
+    (grid.cu:218-255): interval ``k`` spans edges ``k`` and ``k+1``.
+
+    (reference: nerfacc/grid.py:93-192)
+    """
+    limit = traverse_steps_limit if over_allocate else None
+    res = traverse_grids_padded(
+        rays_o,
+        rays_d,
+        binaries,
+        aabbs,
+        near_planes,
+        far_planes,
+        step_size=step_size,
+        cone_angle=cone_angle,
+        max_samples=max_samples,
+        rays_mask=rays_mask,
+        valid_samples_limit=limit,
+    )
+    n_rays, K = res.valid.shape
+    pad_false = jnp.zeros((n_rays, 1), dtype=bool)
+    is_left = jnp.concatenate([res.valid, pad_false], axis=-1)
+    is_right = jnp.concatenate([pad_false, res.valid], axis=-1)
+    ray_ids = jnp.broadcast_to(
+        jnp.arange(n_rays, dtype=jnp.int32)[:, None], (n_rays, K)
+    )
+    intervals = RayIntervals(
+        vals=res.t_edges, is_left=is_left, is_right=is_right
+    )
+    samples = RaySamples(
+        vals=res.t_mids, ray_indices=ray_ids, is_valid=res.valid
+    )
+    return intervals, samples, res.termination_planes
+
+
+def _enlarge_aabb(aabb: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """Scale an AABB about its center (reference: nerfacc/grid.py:195-198)."""
+    center = (aabb[:3] + aabb[3:]) / 2
+    extent = (aabb[3:] - aabb[:3]) / 2
+    return jnp.concatenate([center - extent * factor, center + extent * factor])
+
+
+def _query(
+    x: jnp.ndarray, data: jnp.ndarray, base_aabb: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Query multi-level grid values at points, selecting the mip level from
+    the point's distance to the base AABB center.
+
+    (reference: nerfacc/grid.py:201-237 — test helper.)
+    """
+    aabb_min, aabb_max = base_aabb[:3], base_aabb[3:]
+    x_norm = (x - aabb_min) / (aabb_max - aabb_min)
+
+    maxval = jnp.abs(x_norm - 0.5).max(axis=-1)
+    maxval = jnp.clip(maxval, min=0.1)
+
+    _, exponent = jnp.frexp(maxval)
+    mip = jnp.clip(exponent + 1, min=0)
+    selector = mip < data.shape[0]
+
+    scale = jnp.asarray(2**mip, dtype=x.dtype)
+    x_unit = (x_norm - 0.5) / scale[:, None] + 0.5
+
+    resolution = jnp.asarray(data.shape[1:], dtype=jnp.int32)
+    ix = (x_unit * resolution).astype(jnp.int32)
+    ix = jnp.clip(ix, 0, resolution - 1)
+    mip = jnp.clip(mip, max=data.shape[0] - 1)
+
+    vals = data[mip, ix[:, 0], ix[:, 1], ix[:, 2]] * selector
+    return vals, selector

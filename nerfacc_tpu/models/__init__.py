@@ -1,0 +1,19 @@
+from .encoders import (
+    HashGridEncoder,
+    SinusoidalEncoder,
+    spherical_harmonics_16,
+)
+from .mlp import VanillaNeRFRadianceField, TNeRFRadianceField
+from .ngp import NGPDensityField, NGPRadianceField, contract_to_unisphere, trunc_exp
+
+__all__ = [
+    "HashGridEncoder",
+    "SinusoidalEncoder",
+    "spherical_harmonics_16",
+    "VanillaNeRFRadianceField",
+    "TNeRFRadianceField",
+    "NGPDensityField",
+    "NGPRadianceField",
+    "contract_to_unisphere",
+    "trunc_exp",
+]

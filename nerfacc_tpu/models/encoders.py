@@ -1,0 +1,207 @@
+"""Input encoders: multiresolution hash grid, spherical harmonics, sinusoidal.
+
+TPU-native replacements for the reference's external tinycudann dependency
+(reference: examples/radiance_fields/ngp.py:110-163 configures tcnn HashGrid
+16 levels x 2 features, 2^19 table, res 16..4096, and a degree-4
+SphericalHarmonics view encoding) and the pure-torch ``SinusoidalEncoder``
+(examples/radiance_fields/mlp.py:46-81).
+
+The hash grid is one big gather from a ``(L*T, F)`` table — HBM-bandwidth
+bound, which is exactly what TPUs are good at when the gather is batched.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# tcnn's spatial hash primes (common/grid.h upstream; public constants).
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridEncoder:
+    """Multiresolution hash-grid encoder (Instant-NGP).
+
+    Static configuration; parameters live in the pytree returned by
+    :meth:`init`.
+
+    Attributes:
+        n_levels: number of resolution levels (L).
+        n_features_per_level: features per level (F).
+        log2_hashmap_size: log2 of per-level table size (T).
+        base_resolution: coarsest grid resolution.
+        max_resolution: finest grid resolution.
+    """
+
+    n_levels: int = 16
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    max_resolution: int = 4096
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_hashmap_size
+
+    @property
+    def output_dim(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+    @property
+    def resolutions(self) -> Tuple[int, ...]:
+        if self.n_levels == 1:
+            return (self.base_resolution,)
+        growth = math.exp(
+            (math.log(self.max_resolution) - math.log(self.base_resolution))
+            / (self.n_levels - 1)
+        )
+        return tuple(
+            int(math.floor(self.base_resolution * growth**l))
+            for l in range(self.n_levels)
+        )
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> jnp.ndarray:
+        """Table parameters ``(L, T, F)``, uniform in [-1e-4, 1e-4] (tcnn's
+        default hash-grid init)."""
+        return jax.random.uniform(
+            key,
+            (self.n_levels, self.table_size, self.n_features_per_level),
+            dtype,
+            minval=-1e-4,
+            maxval=1e-4,
+        )
+
+    def __call__(self, table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """Encode points.
+
+        Args:
+            table: (L, T, F) parameters.
+            x: (..., 3) positions in [0, 1]^3 (out-of-range clamps).
+
+        Returns:
+            (..., L * F) features (trilinear blend of 8 corners per level).
+        """
+        batch_shape = x.shape[:-1]
+        x = x.reshape(-1, 3)
+        n = x.shape[0]
+        L, T, F = table.shape
+
+        res = jnp.asarray(self.resolutions, dtype=x.dtype)  # (L,)
+        # Per tcnn: scale by resolution, corners at floor/floor+1.
+        pos = x[:, None, :] * res[None, :, None]  # (n, L, 3)
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - i0
+
+        # 8 corner offsets.
+        offsets = jnp.asarray(
+            [
+                [dx, dy, dz]
+                for dx in (0, 1)
+                for dy in (0, 1)
+                for dz in (0, 1)
+            ],
+            dtype=jnp.int32,
+        )  # (8, 3)
+        corners = i0[:, :, None, :] + offsets[None, None, :, :]  # (n, L, 8, 3)
+
+        cx = corners[..., 0].astype(jnp.uint32)
+        cy = corners[..., 1].astype(jnp.uint32)
+        cz = corners[..., 2].astype(jnp.uint32)
+        hashed = (
+            cx * jnp.uint32(_PRIMES[0])
+            ^ cy * jnp.uint32(_PRIMES[1])
+            ^ cz * jnp.uint32(_PRIMES[2])
+        ) & jnp.uint32(T - 1)
+        idx = hashed.astype(jnp.int32)  # (n, L, 8)
+
+        level_offset = (jnp.arange(L, dtype=jnp.int32) * T)[None, :, None]
+        flat_idx = (idx + level_offset).reshape(-1)
+        feats = jnp.take(table.reshape(L * T, F), flat_idx, axis=0)
+        feats = feats.reshape(n, L, 8, F)
+
+        # Trilinear weights matching the corner offset order.
+        wx = jnp.stack([1.0 - frac[..., 0], frac[..., 0]], axis=-1)  # (n, L, 2)
+        wy = jnp.stack([1.0 - frac[..., 1], frac[..., 1]], axis=-1)
+        wz = jnp.stack([1.0 - frac[..., 2], frac[..., 2]], axis=-1)
+        w = (
+            wx[:, :, :, None, None] * wy[:, :, None, :, None] * wz[:, :, None, None, :]
+        ).reshape(n, L, 8)  # (n, L, 8)
+
+        out = jnp.sum(feats * w[..., None], axis=2)  # (n, L, F)
+        return out.reshape(batch_shape + (L * F,))
+
+
+def spherical_harmonics_16(d: jnp.ndarray) -> jnp.ndarray:
+    """Real spherical harmonics basis up to degree 4 (16 components).
+
+    Replaces tcnn's ``SphericalHarmonics`` degree-4 view encoding
+    (reference: examples/radiance_fields/ngp.py:111-124).
+
+    Args:
+        d: (..., 3) unit view directions.
+
+    Returns:
+        (..., 16) basis values.
+    """
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    return jnp.stack(
+        [
+            0.28209479177387814 * jnp.ones_like(x),
+            -0.48860251190291987 * y,
+            0.48860251190291987 * z,
+            -0.48860251190291987 * x,
+            1.0925484305920792 * xy,
+            -1.0925484305920792 * yz,
+            0.94617469575755997 * zz - 0.31539156525251999,
+            -1.0925484305920792 * xz,
+            0.54627421529603959 * (xx - yy),
+            0.59004358992664352 * y * (-3.0 * xx + yy),
+            2.8906114426405538 * xy * z,
+            0.45704579946446572 * y * (1.0 - 5.0 * zz),
+            0.3731763325901154 * z * (5.0 * zz - 3.0),
+            0.45704579946446572 * x * (1.0 - 5.0 * zz),
+            1.4453057213202769 * z * (xx - yy),
+            0.59004358992664352 * x * (-xx + 3.0 * yy),
+        ],
+        axis=-1,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SinusoidalEncoder:
+    """Positional (sinusoidal) encoder (reference: mlp.py:46-81).
+
+    Encodes ``x`` to ``[x?, sin(2^k x), cos(2^k x)]`` for
+    ``k in [min_deg, max_deg)``.
+    """
+
+    x_dim: int
+    min_deg: int = 0
+    max_deg: int = 10
+    use_identity: bool = True
+
+    @property
+    def latent_dim(self) -> int:
+        return (
+            int(self.use_identity) + (self.max_deg - self.min_deg) * 2
+        ) * self.x_dim
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.max_deg == self.min_deg:
+            return x
+        scales = jnp.asarray(
+            [2**i for i in range(self.min_deg, self.max_deg)], dtype=x.dtype
+        )
+        xb = (x[..., None, :] * scales[:, None]).reshape(
+            x.shape[:-1] + (-1,)
+        )
+        latent = jnp.sin(jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=-1))
+        if self.use_identity:
+            latent = jnp.concatenate([x, latent], axis=-1)
+        return latent

@@ -1,0 +1,278 @@
+"""Fused single-step NGP + occupancy-grid trainer.
+
+TPU-native analog of the reference training harness
+(reference: examples/train_ngp_nerf_occ.py:28-214 + examples/utils.py:54-167),
+re-architected around one jitted train step: occupancy-grid EMA update,
+stratified grid traversal, sample compaction, radiance-field evaluation,
+differentiable compositing, smooth-L1 loss, and the Adam update all compile
+into a single XLA program — zero host round-trips per step except the
+dynamic ray-batch controller (which quantizes to buckets to bound
+recompiles).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..estimators.occ_grid import (
+    OccGridState,
+    init_occ_grid,
+    sampling_padded,
+    update_occ_grid,
+)
+from ..utils.rendering import compact_samples, render_rays_with_occgrid
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    occ_state: OccGridState
+    key: jax.Array
+    step: jnp.ndarray
+
+
+def make_lr_schedule(max_steps: int, base_lr: float = 1e-2):
+    """LinearLR warmup (0.01x over 100 steps) chained with MultiStep 0.33
+    decay at 1/2, 3/4, 9/10 (reference: train_ngp_nerf_occ.py:128-143)."""
+    warmup = optax.linear_schedule(base_lr * 0.01, base_lr, 100)
+    boundaries = {
+        max_steps // 2: 0.33,
+        max_steps * 3 // 4: 0.33,
+        max_steps * 9 // 10: 0.33,
+    }
+    return optax.join_schedules(
+        [warmup]
+        + [
+            optax.constant_schedule(
+                base_lr * 0.33 ** (i + 1)
+            )
+            for i in range(len(boundaries))
+        ],
+        list(boundaries.keys()),
+    )
+
+
+def smooth_l1_loss(pred, target):
+    """torch.nn.functional.smooth_l1_loss with beta=1 (mean reduction)."""
+    diff = jnp.abs(pred - target)
+    return jnp.mean(jnp.where(diff < 1.0, 0.5 * diff**2, diff - 0.5))
+
+
+@dataclasses.dataclass
+class NGPOccTrainer:
+    """Instant-NGP + OccGrid trainer (reference config:
+    train_ngp_nerf_occ.py:55-78 for nerf_synthetic).
+
+    Args:
+        field: radiance field with ``init(key)``, ``__call__(params, pos,
+            dirs)`` and ``query_density(params, x)``.
+        aabb: scene roi.
+        max_steps: schedule length.
+        occ_* / render_*: estimator and marching parameters.
+        sample_budget: static per-step sample-buffer size (the reference's
+            ``target_sample_batch_size``).
+        max_samples_per_ray: candidate lattice length.
+    """
+
+    field: Any
+    aabb: Any
+    max_steps: int = 20000
+    grid_resolution: int = 128
+    grid_nlvl: int = 1
+    render_step_size: float = 5e-3
+    near_plane: float = 0.0
+    far_plane: float = 1e10
+    cone_angle: float = 0.0
+    alpha_thre: float = 0.0
+    early_stop_eps: float = 1e-4
+    occ_thre: float = 1e-2
+    ema_decay: float = 0.95
+    warmup_steps: int = 256
+    update_interval: int = 16
+    weight_decay: float = 1e-6
+    lr: float = 1e-2
+    sample_budget: int = 2**18
+    max_samples_per_ray: int = 1024
+    seed: int = 42
+
+    def __post_init__(self):
+        self.schedule = make_lr_schedule(self.max_steps, self.lr)
+        self.optimizer = optax.chain(
+            optax.add_decayed_weights(self.weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15),
+            optax.scale_by_learning_rate(self.schedule),
+        )
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._render_chunk = jax.jit(self._render_chunk_impl)
+
+    def init_state(self) -> TrainState:
+        key = jax.random.PRNGKey(self.seed)
+        key, sub = jax.random.split(key)
+        params = self.field.init(sub)
+        opt_state = self.optimizer.init(params)
+        occ_state = init_occ_grid(
+            jnp.asarray(self.aabb, jnp.float32),
+            self.grid_resolution,
+            self.grid_nlvl,
+        )
+        return TrainState(
+            params, opt_state, occ_state, key, jnp.zeros((), jnp.int32)
+        )
+
+    # -- one fused step ----------------------------------------------------
+    def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple:
+        key, k_occ, k_strat = jax.random.split(state.key, 3)
+        params = state.params
+
+        # Occupancy-grid EMA update every `update_interval` steps
+        # (reference: train_ngp_nerf_occ.py:161-170).
+        def occ_eval_fn(x):
+            return self.field.query_density(params, x)[..., 0] * (
+                self.render_step_size
+            )
+
+        occ_state = jax.lax.cond(
+            state.step % self.update_interval == 0,
+            lambda s: update_occ_grid(
+                s,
+                k_occ,
+                state.step,
+                occ_eval_fn,
+                occ_thre=self.occ_thre,
+                ema_decay=self.ema_decay,
+                warmup_steps=self.warmup_steps,
+            ),
+            lambda s: s,
+            state.occ_state,
+        )
+
+        rays_o = batch["rays_o"]
+        rays_d = batch["rays_d"]
+        pixels = batch["rgb"]
+        render_bkgd = batch["color_bkgd"]
+
+        # Sampling (no gradients through traversal).
+        res = sampling_padded(
+            occ_state,
+            rays_o,
+            rays_d,
+            near_plane=self.near_plane,
+            far_plane=self.far_plane,
+            render_step_size=self.render_step_size,
+            alpha_thre=self.alpha_thre,
+            early_stop_eps=self.early_stop_eps,
+            stratified=True,
+            cone_angle=self.cone_angle,
+            key=k_strat,
+            max_samples=self.max_samples_per_ray,
+        )
+        samples = compact_samples(res, self.sample_budget)
+
+        def loss_fn(params):
+            def rgb_sigma_fn(positions, dirs):
+                rgb, density = self.field(params, positions, dirs)
+                return rgb, density[..., 0]
+
+            colors, _, _, extras = render_rays_with_occgrid(
+                rgb_sigma_fn,
+                rays_o,
+                rays_d,
+                samples,
+                render_bkgd=render_bkgd,
+            )
+            loss = smooth_l1_loss(colors, pixels)
+            mse = jnp.mean((colors - pixels) ** 2)
+            return loss, mse
+
+        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, params
+        )
+        params = optax.apply_updates(params, updates)
+
+        new_state = TrainState(
+            params, opt_state, occ_state, key, state.step + 1
+        )
+        aux = {
+            "loss": loss,
+            "mse": mse,
+            "n_rendering_samples": samples.num_valid,
+            # the batch-size controller must see the TRUE sample demand,
+            # including samples dropped past the budget, or it will not
+            # shrink the ray batch when overflowing
+            "n_total_samples": samples.num_valid + samples.overflow,
+            "overflow": samples.overflow,
+        }
+        return new_state, aux
+
+    def train_step(self, state: TrainState, batch: Dict) -> Tuple:
+        batch = {
+            "rays_o": jnp.asarray(batch["rays_o"]),
+            "rays_d": jnp.asarray(batch["rays_d"]),
+            "rgb": jnp.asarray(batch["rgb"]),
+            "color_bkgd": jnp.asarray(batch["color_bkgd"]),
+        }
+        return self._train_step(state, batch)
+
+    # -- evaluation --------------------------------------------------------
+    def _render_chunk_impl(self, params, occ_state, rays_o, rays_d, bkgd):
+        res = sampling_padded(
+            occ_state,
+            rays_o,
+            rays_d,
+            near_plane=self.near_plane,
+            far_plane=self.far_plane,
+            render_step_size=self.render_step_size,
+            alpha_thre=self.alpha_thre,
+            early_stop_eps=self.early_stop_eps,
+            cone_angle=self.cone_angle,
+            max_samples=self.max_samples_per_ray,
+        )
+        samples = compact_samples(res, self.sample_budget)
+
+        def rgb_sigma_fn(positions, dirs):
+            rgb, density = self.field(params, positions, dirs)
+            return rgb, density[..., 0]
+
+        colors, opacities, depths, _ = render_rays_with_occgrid(
+            rgb_sigma_fn, rays_o, rays_d, samples, render_bkgd=bkgd
+        )
+        return colors, opacities, depths
+
+    def render_image(
+        self, state: TrainState, data: Dict, chunk: int = 8192
+    ) -> np.ndarray:
+        rays_o = np.asarray(data["rays_o"])
+        rays_d = np.asarray(data["rays_d"])
+        bkgd = jnp.asarray(data["color_bkgd"])
+        n = rays_o.shape[0]
+        out = []
+        for s in range(0, n, chunk):
+            o = rays_o[s : s + chunk]
+            d = rays_d[s : s + chunk]
+            pad = chunk - o.shape[0]
+            if pad:
+                o = np.pad(o, ((0, pad), (0, 0)), constant_values=1e8)
+                d = np.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+            c, _, _ = self._render_chunk(
+                state.params, state.occ_state, jnp.asarray(o), jnp.asarray(d), bkgd
+            )
+            c = np.asarray(c)
+            out.append(c[: chunk - pad] if pad else c)
+        return np.concatenate(out)
+
+    def eval_psnr(self, state: TrainState, dataset, max_images=None) -> float:
+        psnrs = []
+        n = len(dataset) if max_images is None else min(len(dataset), max_images)
+        for i in range(n):
+            data = dataset[i]
+            rgb = self.render_image(state, data)
+            mse = float(np.mean((rgb - np.asarray(data["rgb"])) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+        return float(np.mean(psnrs))

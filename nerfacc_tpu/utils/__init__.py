@@ -1,0 +1,11 @@
+from .rendering import (
+    compact_samples,
+    render_image_with_occgrid,
+    render_rays_with_occgrid,
+)
+
+__all__ = [
+    "compact_samples",
+    "render_image_with_occgrid",
+    "render_rays_with_occgrid",
+]

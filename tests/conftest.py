@@ -1,0 +1,15 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Unlike the reference's tests (which hard-require cuda:0, see
+reference tests/test_scan.py:4), this suite runs anywhere — CPU CI included —
+while still exercising the multi-device sharding paths via
+``xla_force_host_platform_device_count``.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

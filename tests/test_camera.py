@@ -1,0 +1,53 @@
+"""Camera undistortion tests (ported from reference tests/test_camera.py):
+distort-undistort round trips for the OpenCV and fisheye models."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfacc_tpu import (
+    opencv_lens_undistortion,
+    opencv_lens_undistortion_fisheye,
+)
+from nerfacc_tpu.cameras import (
+    _opencv_lens_distortion,
+    _opencv_lens_distortion_fisheye,
+)
+
+
+def test_opencv_lens_undistortion_roundtrip():
+    key = jax.random.PRNGKey(42)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (3, 1000, 2), minval=-1.0, maxval=1.0)
+    params = jax.random.uniform(k2, (8,), minval=-0.01, maxval=0.01)
+
+    x_d = _opencv_lens_distortion(x, params)
+    x_rec = opencv_lens_undistortion(x_d, params, 1e-10, 10)
+    np.testing.assert_allclose(x_rec, x, atol=1e-5)
+
+
+def test_opencv_lens_undistortion_padded_params():
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (100, 2), minval=-1.0, maxval=1.0)
+    p4 = jax.random.uniform(k2, (4,), minval=-0.01, maxval=0.01)
+    p8 = jnp.pad(p4, (0, 4))
+    np.testing.assert_allclose(
+        opencv_lens_undistortion(x, p4),
+        opencv_lens_undistortion(x, p8),
+        atol=1e-7,
+    )
+    # N == 0 is the identity
+    np.testing.assert_allclose(
+        opencv_lens_undistortion(x, jnp.zeros((0,))), x
+    )
+
+
+def test_opencv_lens_undistortion_fisheye_roundtrip():
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (1000, 2), minval=-0.5, maxval=0.5)
+    params = jax.random.uniform(k2, (4,), minval=-0.01, maxval=0.01)
+
+    x_d = _opencv_lens_distortion_fisheye(x, params)
+    x_rec = opencv_lens_undistortion_fisheye(x_d, params, 1e-10, 20)
+    np.testing.assert_allclose(x_rec, x, atol=1e-5)

@@ -1,0 +1,81 @@
+"""Benchmark: sustained training-pipeline throughput on one chip.
+
+Prints ONE JSON line: rendered samples/second through the full fused train
+step (occupancy-grid sampling + compaction + radiance field fwd/bwd + Adam +
+grid updates), measured in steady state on the self-contained procedural
+scene.  Baseline: the reference sustains ~18M rendered samples/s on a TITAN
+RTX (BASELINE.md: 20k steps / 288 s at 2^18 samples/step, lego+occ).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_SAMPLES_PER_SEC = 18e6
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from nerfacc_tpu.data import ProceduralSceneLoader
+    from nerfacc_tpu.models.cp_field import CPRadianceField
+    from nerfacc_tpu.trainers import NGPOccTrainer
+
+    aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
+    num_rays = 8192
+    budget = 1 << 18
+    steps_per_call = 16
+
+    ds = ProceduralSceneLoader(
+        split="train", num_rays=num_rays, width=320, height=320, n_train=8
+    )
+    field = CPRadianceField(aabb=tuple(aabb))
+    trainer = NGPOccTrainer(
+        field=field,
+        aabb=aabb,
+        sample_budget=budget,
+        max_samples_per_ray=1024,
+        render_step_size=5e-3,
+    )
+    state = trainer.init_state()
+
+    rng = np.random.default_rng(0)
+
+    def make_batches():
+        datas = [ds[int(rng.integers(0, len(ds)))] for _ in range(steps_per_call)]
+        return {k: np.stack([d[k] for d in datas]) for k in datas[0]}
+
+    # Warm up past the occupancy warmup phase so the measurement reflects
+    # steady state (compiles + grid convergence).
+    state = state._replace(step=jax.numpy.asarray(2048, jax.numpy.int32))
+    for _ in range(3):
+        state, auxs = trainer.train_steps(state, make_batches())
+    jax.block_until_ready(auxs["loss"])
+
+    n_calls = 6
+    t0 = time.time()
+    total_samples = 0
+    for _ in range(n_calls):
+        state, auxs = trainer.train_steps(state, make_batches())
+        total_samples += int(np.asarray(auxs["n_rendering_samples"]).sum())
+    jax.block_until_ready(auxs["loss"])
+    elapsed = time.time() - t0
+
+    samples_per_sec = total_samples / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_sec",
+                "value": round(samples_per_sec),
+                "unit": "samples/s",
+                "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

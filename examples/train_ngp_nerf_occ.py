@@ -22,11 +22,14 @@ NERF_SYNTHETIC_SCENES = [
 def round_to_bucket(n: int, buckets) -> int:
     """Quantize the dynamic ray batch to bounded buckets (avoids XLA
     recompile storms; the reference resizes freely every step,
-    train_ngp_nerf_occ.py:187-194)."""
+    train_ngp_nerf_occ.py:187-194).  Rounds DOWN so the controller can
+    actually shrink the batch when the sample budget overflows — overflowed
+    samples are dropped, which starves tail rays and biases gradients."""
+    chosen = buckets[0]
     for b in buckets:
-        if n <= b:
-            return b
-    return buckets[-1]
+        if b <= n:
+            chosen = b
+    return chosen
 
 
 def main():
@@ -40,11 +43,26 @@ def main():
     parser.add_argument("--eval_every", type=int, default=0)
     parser.add_argument("--log_every", type=int, default=1000)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument(
+        "--field",
+        type=str,
+        default="cp",
+        choices=["cp", "ngp"],
+        help="cp: all-matmul factorized field (TPU fast path); "
+        "ngp: hash-grid field (reference-parity path)",
+    )
+    parser.add_argument(
+        "--steps_per_call",
+        type=int,
+        default=8,
+        help="steps fused into one device dispatch via lax.scan",
+    )
     args = parser.parse_args()
 
     import jax
 
     from nerfacc_tpu.models import NGPRadianceField
+    from nerfacc_tpu.models.cp_field import CPRadianceField
     from nerfacc_tpu.trainers import NGPOccTrainer
 
     if args.data_root is not None:
@@ -74,7 +92,10 @@ def main():
         test_dataset = ProceduralSceneLoader(split="test")
         weight_decay = 1e-6
 
-    field = NGPRadianceField(aabb=tuple(aabb))
+    if args.field == "cp":
+        field = CPRadianceField(aabb=tuple(aabb))
+    else:
+        field = NGPRadianceField(aabb=tuple(aabb))
     trainer = NGPOccTrainer(
         field=field,
         aabb=aabb,
@@ -87,40 +108,51 @@ def main():
     )
     state = trainer.init_state()
 
-    buckets = [1024 * 2**i for i in range(8)]  # 1k .. 128k rays
+    buckets = sorted(
+        {1024 * 2**i for i in range(8)}
+        | {1536 * 2**i for i in range(7)}
+    )  # 1k .. 128k rays, ~1.33x spacing
     rng = np.random.default_rng(args.seed)
     tic = time.time()
     samples_done = 0
-    for step in range(args.max_steps + 1):
-        data = train_dataset[int(rng.integers(0, len(train_dataset)))]
-        state, aux = trainer.train_step(state, data)
+    M = max(1, args.steps_per_call)
+    step = 0
+    while step <= args.max_steps:
+        datas = [
+            train_dataset[int(rng.integers(0, len(train_dataset)))]
+            for _ in range(M)
+        ]
+        batches = {
+            k: np.stack([d[k] for d in datas]) for k in datas[0].keys()
+        }
+        state, auxs = trainer.train_steps(state, batches)
+        step += M
 
-        n_samples = int(aux["n_rendering_samples"])
-        n_total = int(aux["n_total_samples"])
-        samples_done += n_samples
-        if n_samples == 0:
-            continue
-        if args.target_sample_batch_size > 0:
-            num_rays = len(data["rgb"])
+        n_samples = int(np.asarray(auxs["n_rendering_samples"])[-1])
+        n_total = int(np.asarray(auxs["n_total_samples"])[-1])
+        samples_done += int(np.asarray(auxs["n_rendering_samples"]).sum())
+        if n_total > 0 and args.target_sample_batch_size > 0:
+            num_rays = train_dataset.num_rays
             num_rays = int(
                 num_rays * (args.target_sample_batch_size / float(n_total))
             )
             train_dataset.update_num_rays(round_to_bucket(num_rays, buckets))
 
-        if step % args.log_every == 0:
+        if step % args.log_every < M:
             jax.block_until_ready(state.params)
             elapsed = time.time() - tic
-            mse = float(aux["mse"])
+            mse = float(np.asarray(auxs["mse"])[-1])
             psnr = -10.0 * np.log10(max(mse, 1e-10))
             print(
                 f"elapsed_time={elapsed:.2f}s | step={step} | "
-                f"loss={float(aux['loss']):.5f} | psnr={psnr:.2f} | "
+                f"loss={float(np.asarray(auxs['loss'])[-1]):.5f} | "
+                f"psnr={psnr:.2f} | "
                 f"n_rendering_samples={n_samples} | "
-                f"num_rays={len(data['rgb'])} | "
+                f"num_rays={len(datas[0]['rgb'])} | "
                 f"samples/s={samples_done / max(elapsed, 1e-9):.3g}"
             )
 
-        if args.eval_every and step > 0 and step % args.eval_every == 0:
+        if args.eval_every and step % args.eval_every < M and step > M:
             psnr_avg = trainer.eval_psnr(state, test_dataset)
             print(f"evaluation: step={step} psnr_avg={psnr_avg:.2f}")
 

@@ -1,0 +1,130 @@
+"""Train Instant-NGP-style field with proposal networks.
+
+TPU-native equivalent of reference examples/train_ngp_nerf_prop.py.  Falls
+back to the procedural benchmark scene without --data_root.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+MIPNERF360_UNBOUNDED_SCENES = [
+    "garden", "bicycle", "bonsai", "counter", "kitchen", "room", "stump",
+]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--scene", type=str, default="lego")
+    parser.add_argument("--train_split", type=str, default="train")
+    parser.add_argument("--max_steps", type=int, default=20000)
+    parser.add_argument("--batch_size", type=int, default=4096)
+    parser.add_argument("--log_every", type=int, default=1000)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--field", type=str, default="cp", choices=["cp", "ngp"])
+    args = parser.parse_args()
+
+    import jax
+
+    from nerfacc_tpu.estimators.prop_net import get_proposal_requires_grad_fn
+    from nerfacc_tpu.models import NGPDensityField, NGPRadianceField
+    from nerfacc_tpu.models.cp_field import CPDensityField, CPRadianceField
+    from nerfacc_tpu.trainers import NGPPropTrainer
+
+    unbounded = args.scene in MIPNERF360_UNBOUNDED_SCENES
+    if unbounded:
+        # reference: train_ngp_nerf_prop.py: 2 proposal nets [256, 96] -> 48,
+        # lindisp, opaque background, far 1e3
+        aabb = [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0]
+        prop_samples = [256, 96]
+        num_samples = 48
+        near_plane, far_plane = 0.2, 1e3
+        sampling_type = "lindisp"
+        opaque_bkgd = True
+    else:
+        # reference: 1 proposal net [128] -> 64, uniform, near/far 2/6
+        aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
+        prop_samples = [128]
+        num_samples = 64
+        near_plane, far_plane = 2.0, 6.0
+        sampling_type = "uniform"
+        opaque_bkgd = False
+
+    if args.data_root is not None:
+        from nerfacc_tpu.data import SubjectLoader
+
+        train_dataset = SubjectLoader(
+            subject_id=args.scene,
+            root_fp=args.data_root,
+            split=args.train_split,
+            num_rays=args.batch_size,
+            seed=args.seed,
+        )
+        test_dataset = SubjectLoader(
+            subject_id=args.scene, root_fp=args.data_root, split="test"
+        )
+    else:
+        from nerfacc_tpu.data import ProceduralSceneLoader
+
+        train_dataset = ProceduralSceneLoader(
+            split="train", num_rays=args.batch_size, seed=args.seed
+        )
+        test_dataset = ProceduralSceneLoader(split="test")
+
+    if args.field == "cp":
+        field = CPRadianceField(aabb=tuple(aabb), unbounded=unbounded)
+        prop_fields = [
+            CPDensityField(aabb=tuple(aabb), unbounded=unbounded)
+            for _ in prop_samples
+        ]
+    else:
+        field = NGPRadianceField(aabb=tuple(aabb), unbounded=unbounded)
+        prop_fields = [
+            NGPDensityField(aabb=tuple(aabb), unbounded=unbounded)
+            for _ in prop_samples
+        ]
+
+    trainer = NGPPropTrainer(
+        field=field,
+        prop_fields=prop_fields,
+        prop_samples=prop_samples,
+        num_samples=num_samples,
+        near_plane=near_plane,
+        far_plane=far_plane,
+        sampling_type=sampling_type,
+        opaque_bkgd=opaque_bkgd,
+        max_steps=args.max_steps,
+        seed=args.seed,
+    )
+    state = trainer.init_state()
+    requires_grad_fn = get_proposal_requires_grad_fn()
+
+    rng = np.random.default_rng(args.seed)
+    tic = time.time()
+    for step in range(args.max_steps + 1):
+        data = train_dataset[int(rng.integers(0, len(train_dataset)))]
+        requires_grad = requires_grad_fn(step)
+        state, aux = trainer.train_step(state, data, requires_grad)
+
+        if step % args.log_every == 0:
+            jax.block_until_ready(state.params)
+            elapsed = time.time() - tic
+            mse = float(aux["mse"])
+            psnr = -10.0 * np.log10(max(mse, 1e-10))
+            print(
+                f"elapsed_time={elapsed:.2f}s | step={step} | "
+                f"loss={float(aux['loss']):.5f} | psnr={psnr:.2f} | "
+                f"prop_loss={float(aux['prop_loss']):.5f}"
+            )
+
+    psnr_avg = trainer.eval_psnr(state, test_dataset)
+    print(f"evaluation: psnr_avg={psnr_avg:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -144,17 +144,21 @@ class SubjectLoader:
         )
         return origins.astype(np.float32), viewdirs.astype(np.float32)
 
+    def _sample_pixels(self, index: int):
+        """Draw the (image, x, y) triples for one train batch."""
+        num_rays = self.num_rays
+        if self.batch_over_images:
+            image_id = self.rng.integers(0, len(self.images), size=(num_rays,))
+        else:
+            image_id = np.full((num_rays,), index)
+        x = self.rng.integers(0, self.WIDTH, size=(num_rays,))
+        y = self.rng.integers(0, self.HEIGHT, size=(num_rays,))
+        return image_id, x, y
+
     def __getitem__(self, index: int):
         if self.training:
-            num_rays = self.num_rays
-            if self.batch_over_images:
-                image_id = self.rng.integers(
-                    0, len(self.images), size=(num_rays,)
-                )
-            else:
-                image_id = np.full((num_rays,), index)
-            x = self.rng.integers(0, self.WIDTH, size=(num_rays,))
-            y = self.rng.integers(0, self.HEIGHT, size=(num_rays,))
+            image_id, x, y = self._sample_pixels(index)
+            self._last_image_id = image_id
             rgba = self.images[image_id, y, x].astype(np.float32) / 255.0
             origins, viewdirs = self._rays_for_pixels(image_id, x, y)
 
@@ -171,6 +175,7 @@ class SubjectLoader:
             )
             x = x.reshape(-1)
             y = y.reshape(-1)
+            self._last_image_id = np.full_like(x, image_id)
             rgba = self.images[image_id, y, x].astype(np.float32) / 255.0
             origins, viewdirs = self._rays_for_pixels(
                 np.full_like(x, image_id), x, y

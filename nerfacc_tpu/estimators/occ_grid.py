@@ -200,11 +200,21 @@ def update_occ_grid(
             k_uni, (levels, n), 0, cells, dtype=jnp.int32
         )
         bin_flat = state.binaries.reshape(levels, cells)
-        logits = jnp.where(bin_flat, 0.0, -1e30)
-        occupied_ids = jax.random.categorical(
-            k_occ, logits, axis=-1, shape=(n, levels)
-        ).T.astype(jnp.int32)
-        has_occupied = jnp.any(bin_flat, axis=-1, keepdims=True)
+        # Uniform sample of occupied cells without replacement via one key
+        # sort: occupied cells get keys in [0,1), empty cells in [1,2), so
+        # the first n sorted ids are a uniform occupied subset.  (The
+        # reference uses nonzero()+randint, occ_grid.py:356-361 — dynamic
+        # shapes; a categorical over 2M cells is quadratic on TPU.)
+        sort_keys = jax.random.uniform(k_occ, (levels, cells)) + jnp.where(
+            bin_flat, 0.0, 1.0
+        )
+        _, occupied_ids = jax.lax.sort_key_val(
+            sort_keys,
+            jnp.broadcast_to(
+                jnp.arange(cells, dtype=jnp.int32)[None, :], (levels, cells)
+            ),
+        )
+        occupied_ids = occupied_ids[:, :n]
 
         cell_ids = jnp.concatenate([uniform_ids, occupied_ids], axis=-1)
         occ = _eval_cells(state, cell_ids, k_eval, occ_eval_fn)
@@ -212,12 +222,12 @@ def update_occ_grid(
             jnp.arange(levels, dtype=jnp.int32)[:, None] * cells + cell_ids
         )
         visible = jnp.take(state.occs, flat) >= 0.0
-        mask = visible & jnp.concatenate(
-            [jnp.ones((levels, n), bool), jnp.broadcast_to(has_occupied, (levels, n))],
-            axis=-1,
-        )
         occs = _ema_update(
-            state.occs, flat.reshape(-1), occ.reshape(-1), mask.reshape(-1), ema_decay
+            state.occs,
+            flat.reshape(-1),
+            occ.reshape(-1),
+            visible.reshape(-1),
+            ema_decay,
         )
         return dataclasses.replace(state, occs=occs)
 

@@ -1,0 +1,236 @@
+"""CP-factorized radiance field — the TPU-native fast path.
+
+Why this exists: on TPU, XLA lowers random gathers to a ~4 ns/row serial
+path, so Instant-NGP's hash-grid encoder (33M random rows per step) is
+bandwidth-starved by 100x.  The MXU, in contrast, delivers hundreds of
+TFLOPs.  This field replaces the hash grid with a CP/K-Planes-style
+factorized grid evaluated entirely by dense matmuls: per axis and per
+resolution, a "hat-function" interpolation matrix (N, R) — two adjacent
+nonzeros per row, built from an iota comparison — is multiplied with a line
+table (R, rank) on the MXU; per-sample features are the elementwise product
+of the three axis features (CP contraction), concatenated over resolutions.
+
+No gathers anywhere: encode + MLP + backward are all matmuls/elementwise.
+Fills the same role as the reference's tcnn NGP field
+(examples/radiance_fields/ngp.py:69-217) at TPU-native speed.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .encoders import spherical_harmonics_16
+from .ngp import _mlp_apply, _mlp_init, contract_to_unisphere, trunc_exp
+
+
+def _hat_weights(u: jnp.ndarray, R: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Dense linear-interpolation weights onto an R-point grid.
+
+    ``u`` in [0, 1] maps to grid coordinate ``u * (R - 1)``; the row has the
+    classic two-nonzero hat profile ``max(0, 1 - |pos - i|)``.  Dense on
+    purpose: (N, R) @ (R, rank) rides the MXU instead of a gather.
+    """
+    pos = u * (R - 1)
+    grid = jnp.arange(R, dtype=u.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - grid[None, :]))
+    return w.astype(dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class CPGridEncoder:
+    """Multi-resolution CP line encoder.
+
+    Attributes:
+        resolutions: per-level 1D grid sizes.
+        ranks: per-level number of CP components (= output features).
+    """
+
+    resolutions: Sequence[int] = (32, 128, 512)
+    ranks: Sequence[int] = (32, 32, 32)
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def output_dim(self) -> int:
+        return int(sum(self.ranks))
+
+    def init(self, key: jax.Array) -> Dict:
+        lines = []
+        for lvl, (R, rank) in enumerate(zip(self.resolutions, self.ranks)):
+            key, sub = jax.random.split(key)
+            # multiplicative decomposition: init near 1 so products start
+            # smooth and gradients flow (K-Planes-style init).
+            lines.append(
+                1.0
+                + 0.1
+                * jax.random.normal(sub, (3, R, rank), jnp.float32)
+            )
+        return {"lines": lines}
+
+    def __call__(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+        """Encode points.
+
+        Args:
+            x: (N, 3) in [0, 1]^3 (clamped).
+
+        Returns:
+            (N, sum(ranks)) features.
+        """
+        x = jnp.clip(x, 0.0, 1.0)
+        feats = []
+        for (R, rank), line in zip(
+            zip(self.resolutions, self.ranks), params["lines"]
+        ):
+            prod = None
+            for axis in range(3):
+                w = _hat_weights(x[:, axis], R, self.compute_dtype)
+                a = jnp.dot(
+                    w,
+                    line[axis].astype(self.compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )  # (N, rank)
+                prod = a if prod is None else prod * a
+            feats.append(prod)
+        return jnp.concatenate(feats, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class CPRadianceField:
+    """Radiance field with CP-factorized grid features + small MLPs.
+
+    Drop-in replacement for :class:`NGPRadianceField` (same interface) with
+    an all-matmul compute path.  ``density = trunc_exp(raw - 1)``.
+    """
+
+    aabb: Tuple[float, ...]
+    num_dim: int = 3
+    use_viewdirs: bool = True
+    unbounded: bool = False
+    resolutions: Sequence[int] = (32, 128, 512)
+    ranks: Sequence[int] = (32, 32, 32)
+    geo_feat_dim: int = 15
+    hidden_dim: int = 64
+    compute_dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        object.__setattr__(
+            self,
+            "encoder",
+            CPGridEncoder(
+                resolutions=tuple(self.resolutions),
+                ranks=tuple(self.ranks),
+                compute_dtype=self.compute_dtype,
+            ),
+        )
+
+    def _aabb(self) -> jnp.ndarray:
+        return jnp.asarray(self.aabb, jnp.float32)
+
+    def init(self, key: jax.Array) -> Dict:
+        k1, k2, k3 = jax.random.split(key, 3)
+        params = {
+            "encoder": self.encoder.init(k1),
+            "mlp_base": _mlp_init(
+                k2,
+                [
+                    self.encoder.output_dim,
+                    self.hidden_dim,
+                    1 + self.geo_feat_dim,
+                ],
+            ),
+        }
+        head_in = (16 if self.use_viewdirs else 0) + self.geo_feat_dim
+        params["mlp_head"] = _mlp_init(
+            k3, [head_in, self.hidden_dim, self.hidden_dim, 3]
+        )
+        return params
+
+    def _normalize(self, x: jnp.ndarray):
+        aabb = self._aabb()
+        if self.unbounded:
+            u = contract_to_unisphere(x, aabb)
+            selector = jnp.ones(x.shape[:-1], bool)
+        else:
+            lo, hi = aabb[:3], aabb[3:]
+            u = (x - lo) / (hi - lo)
+            selector = ((u > 0.0) & (u < 1.0)).all(axis=-1)
+        return u, selector
+
+    def query_density(self, params, x, return_feat: bool = False):
+        u, selector = self._normalize(x)
+        feats = self.encoder(params["encoder"], u)
+        h = _mlp_apply(params["mlp_base"], feats, self.compute_dtype)
+        raw_density, geo_feat = h[..., :1], h[..., 1:]
+        density = trunc_exp(raw_density - 1.0) * selector[..., None]
+        if return_feat:
+            return density, geo_feat
+        return density
+
+    def _query_rgb(self, params, dirs, embedding, apply_act: bool = True):
+        if self.use_viewdirs:
+            d = spherical_harmonics_16(dirs)
+            h = jnp.concatenate([d, embedding], axis=-1)
+        else:
+            h = embedding
+        rgb = _mlp_apply(params["mlp_head"], h, self.compute_dtype)
+        if apply_act:
+            rgb = jax.nn.sigmoid(rgb)
+        return rgb
+
+    def query_opacity(self, params, x, step_size: float):
+        return self.query_density(params, x) * step_size
+
+    def __call__(self, params, positions, directions=None):
+        density, embedding = self.query_density(
+            params, positions, return_feat=True
+        )
+        rgb = self._query_rgb(params, directions, embedding)
+        return rgb, density
+
+
+@dataclasses.dataclass(frozen=True)
+class CPDensityField:
+    """Density-only CP field for proposal resampling — the all-matmul
+    analog of :class:`NGPDensityField` (reference: ngp.py:220-286)."""
+
+    aabb: Tuple[float, ...]
+    unbounded: bool = False
+    resolutions: Sequence[int] = (16, 64)
+    ranks: Sequence[int] = (16, 16)
+    hidden_dim: int = 64
+    compute_dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        object.__setattr__(
+            self,
+            "encoder",
+            CPGridEncoder(
+                resolutions=tuple(self.resolutions),
+                ranks=tuple(self.ranks),
+                compute_dtype=self.compute_dtype,
+            ),
+        )
+
+    def init(self, key: jax.Array) -> Dict:
+        k1, k2 = jax.random.split(key)
+        return {
+            "encoder": self.encoder.init(k1),
+            "mlp_base": _mlp_init(
+                k2, [self.encoder.output_dim, self.hidden_dim, 1]
+            ),
+        }
+
+    def __call__(self, params: Dict, positions: jnp.ndarray) -> jnp.ndarray:
+        aabb = jnp.asarray(self.aabb, jnp.float32)
+        if self.unbounded:
+            u = contract_to_unisphere(positions, aabb)
+            selector = jnp.ones(positions.shape[:-1], bool)
+        else:
+            lo, hi = aabb[:3], aabb[3:]
+            u = (positions - lo) / (hi - lo)
+            selector = ((u > 0.0) & (u < 1.0)).all(axis=-1)
+        feats = self.encoder(params["encoder"], u)
+        raw = _mlp_apply(params["mlp_base"], feats, self.compute_dtype)
+        return trunc_exp(raw - 1.0) * selector[..., None]

@@ -1,3 +1,11 @@
-from .ngp_occ import NGPOccTrainer, TrainState
+from .ngp_occ import NGPOccTrainer, TrainState, make_lr_schedule, smooth_l1_loss
+from .ngp_prop import NGPPropTrainer, PropTrainState
 
-__all__ = ["NGPOccTrainer", "TrainState"]
+__all__ = [
+    "NGPOccTrainer",
+    "NGPPropTrainer",
+    "PropTrainState",
+    "TrainState",
+    "make_lr_schedule",
+    "smooth_l1_loss",
+]

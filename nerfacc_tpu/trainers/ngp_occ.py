@@ -109,6 +109,7 @@ class NGPOccTrainer:
             optax.scale_by_learning_rate(self.schedule),
         )
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_steps = jax.jit(self._train_steps_impl, donate_argnums=(0,))
         self._render_chunk = jax.jit(self._render_chunk_impl)
 
     def init_state(self) -> TrainState:
@@ -174,6 +175,15 @@ class NGPOccTrainer:
         )
         samples = compact_samples(res, self.sample_budget)
 
+        # Rays truncated by the sample budget render wrong colors; exclude
+        # them from the loss (training them toward the background biases the
+        # whole field toward the background color).
+        ray_ok = (
+            jnp.arange(rays_o.shape[0], dtype=jnp.int32)
+            < samples.first_incomplete_ray
+        )[:, None]
+        n_ok = jnp.maximum(jnp.sum(ray_ok), 1)
+
         def loss_fn(params):
             def rgb_sigma_fn(positions, dirs):
                 rgb, density = self.field(params, positions, dirs)
@@ -186,8 +196,11 @@ class NGPOccTrainer:
                 samples,
                 render_bkgd=render_bkgd,
             )
-            loss = smooth_l1_loss(colors, pixels)
-            mse = jnp.mean((colors - pixels) ** 2)
+            diff = jnp.abs(colors - pixels) * ray_ok
+            loss = jnp.sum(
+                jnp.where(diff < 1.0, 0.5 * diff**2, diff - 0.5)
+            ) / (n_ok * 3)
+            mse = jnp.sum((diff) ** 2) / (n_ok * 3)
             return loss, mse
 
         (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -211,6 +224,24 @@ class NGPOccTrainer:
         }
         return new_state, aux
 
+    def _train_steps_impl(self, state: TrainState, batches: Dict) -> Tuple:
+        """Run several steps in one ``lax.scan`` — amortizes per-dispatch
+        host overhead (~10 ms on a tunneled chip) across the scan length."""
+
+        def body(st, b):
+            st, aux = self._train_step_impl(st, b)
+            return st, aux
+
+        return jax.lax.scan(body, state, batches)
+
+    def train_steps(self, state: TrainState, batches: Dict) -> Tuple:
+        """Run ``batches['rgb'].shape[0]`` steps fused into one dispatch.
+
+        All leaves must be stacked along a leading steps axis.
+        """
+        batches = {k: jnp.asarray(v) for k, v in batches.items()}
+        return self._train_steps(state, batches)
+
     def train_step(self, state: TrainState, batch: Dict) -> Tuple:
         batch = {
             "rays_o": jnp.asarray(batch["rays_o"]),
@@ -222,26 +253,29 @@ class NGPOccTrainer:
 
     # -- evaluation --------------------------------------------------------
     def _render_chunk_impl(self, params, occ_state, rays_o, rays_d, bkgd):
-        res = sampling_padded(
-            occ_state,
-            rays_o,
-            rays_d,
-            near_plane=self.near_plane,
-            far_plane=self.far_plane,
-            render_step_size=self.render_step_size,
-            alpha_thre=self.alpha_thre,
-            early_stop_eps=self.early_stop_eps,
-            cone_angle=self.cone_angle,
-            max_samples=self.max_samples_per_ray,
-        )
-        samples = compact_samples(res, self.sample_budget)
+        # Iterative alive-ray renderer: fixed-window marching with resumable
+        # transmittance — per-ray sample counts are unbounded, so a fixed
+        # flat budget (which silently truncates rays) is not usable for
+        # full-image eval (reference: examples/utils.py:267-439).
+        from ..utils.rendering import render_rays_occgrid_test
 
-        def rgb_sigma_fn(positions, dirs):
+        def field_fn(positions, dirs):
             rgb, density = self.field(params, positions, dirs)
             return rgb, density[..., 0]
 
-        colors, opacities, depths, _ = render_rays_with_occgrid(
-            rgb_sigma_fn, rays_o, rays_d, samples, render_bkgd=bkgd
+        colors, opacities, depths = render_rays_occgrid_test(
+            field_fn,
+            occ_state,
+            rays_o,
+            rays_d,
+            render_bkgd=bkgd,
+            near_plane=self.near_plane,
+            far_plane=self.far_plane,
+            render_step_size=self.render_step_size,
+            cone_angle=self.cone_angle,
+            early_stop_eps=max(self.early_stop_eps, 1e-4),
+            window=128,
+            max_iters=self.max_samples_per_ray // 32,
         )
         return colors, opacities, depths
 

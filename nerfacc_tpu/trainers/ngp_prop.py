@@ -1,0 +1,215 @@
+"""Fused NGP + proposal-network trainer.
+
+TPU-native analog of the reference proposal-network training harness
+(reference: examples/train_ngp_nerf_prop.py:61-249 +
+examples/utils.py:170-264).  One jitted step: hierarchical proposal
+sampling (batched importance sampling — static shapes by construction),
+radiance-field rendering of the final samples, smooth-L1 reconstruction
+loss, plus the interlevel PDF-matching loss for the proposal networks —
+main-field and proposal gradients flow in a single backward (the reference
+uses a separate optimizer + manual backward; here optax partitions handle
+the two parameter groups in one update).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..estimators.prop_net import propnet_loss, propnet_sampling
+from ..volrend import rendering
+from .ngp_occ import make_lr_schedule, smooth_l1_loss
+
+
+class PropTrainState(NamedTuple):
+    params: Any          # {"field": ..., "props": [...]}
+    opt_state: Any
+    key: jax.Array
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass
+class NGPPropTrainer:
+    """Instant-NGP + PropNet trainer (reference config:
+    train_ngp_nerf_prop.py:61-127).
+
+    Args:
+        field: radiance field (init/__call__/query_density protocol).
+        prop_fields: proposal density fields, coarse-to-fine.
+        prop_samples: samples per proposal level (e.g. [128] or [256, 96]).
+        num_samples: final samples per ray (e.g. 64 or 48).
+        sampling_type: "uniform" (bounded) or "lindisp" (unbounded).
+        opaque_bkgd: force the last sample opaque (reference
+            utils.py:205-217, used for unbounded scenes).
+        prop_loss_scaler: interlevel-loss scale (reference: 1024).
+    """
+
+    field: Any
+    prop_fields: Sequence[Any]
+    prop_samples: Sequence[int] = (128,)
+    num_samples: int = 64
+    near_plane: float = 2.0
+    far_plane: float = 6.0
+    sampling_type: str = "uniform"
+    opaque_bkgd: bool = False
+    prop_loss_scaler: float = 1024.0
+    max_steps: int = 20000
+    lr: float = 1e-2
+    weight_decay: float = 0.0
+    seed: int = 42
+
+    def __post_init__(self):
+        assert len(self.prop_fields) == len(self.prop_samples)
+        self.schedule = make_lr_schedule(self.max_steps, self.lr)
+        self.optimizer = optax.chain(
+            optax.add_decayed_weights(self.weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15),
+            optax.scale_by_learning_rate(self.schedule),
+        )
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            donate_argnums=(0,),
+            static_argnames=("requires_grad",),
+        )
+        self._render_chunk = jax.jit(self._render_chunk_impl)
+
+    def init_state(self) -> PropTrainState:
+        key = jax.random.PRNGKey(self.seed)
+        keys = jax.random.split(key, len(self.prop_fields) + 2)
+        params = {
+            "field": self.field.init(keys[0]),
+            "props": [
+                p.init(k) for p, k in zip(self.prop_fields, keys[1:-1])
+            ],
+        }
+        opt_state = self.optimizer.init(params)
+        return PropTrainState(
+            params, opt_state, keys[-1], jnp.zeros((), jnp.int32)
+        )
+
+    def _sample_and_render(
+        self, params, rays_o, rays_d, render_bkgd, key, requires_grad: bool
+    ):
+        n_rays = rays_o.shape[0]
+        prop_sigma_fns = [
+            self._prop_sigma_fn(pf, pp, rays_o, rays_d)
+            for pf, pp in zip(self.prop_fields, params["props"])
+        ]
+        t_starts, t_ends, cache = propnet_sampling(
+            prop_sigma_fns,
+            list(self.prop_samples),
+            self.num_samples,
+            n_rays,
+            self.near_plane,
+            self.far_plane,
+            self.sampling_type,
+            stratified=key is not None,
+            requires_grad=requires_grad,
+            key=key,
+        )
+
+        def rgb_sigma_fn(t0, t1, _):
+            t_mid = 0.5 * (t0 + t1)
+            pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+            dirs = jnp.broadcast_to(rays_d[:, None, :], pos.shape)
+            rgb, density = self.field(
+                params["field"], pos.reshape(-1, 3), dirs.reshape(-1, 3)
+            )
+            sigmas = density.reshape(t0.shape)
+            if self.opaque_bkgd:
+                sigmas = sigmas.at[..., -1].set(jnp.inf)
+            return rgb.reshape(t0.shape + (3,)), sigmas
+
+        colors, opacities, depths, extras = rendering(
+            t_starts,
+            t_ends,
+            rgb_sigma_fn=rgb_sigma_fn,
+            render_bkgd=render_bkgd,
+        )
+        return colors, opacities, depths, extras, cache
+
+    def _prop_sigma_fn(self, prop_field, prop_params, rays_o, rays_d):
+        def fn(t0, t1):
+            t_mid = 0.5 * (t0 + t1)
+            pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+            density = prop_field(prop_params, pos.reshape(-1, 3))
+            return density.reshape(t0.shape)
+
+        return fn
+
+    def _train_step_impl(
+        self, state: PropTrainState, batch: Dict, requires_grad: bool
+    ):
+        key, k_strat = jax.random.split(state.key)
+        rays_o = batch["rays_o"]
+        rays_d = batch["rays_d"]
+        pixels = batch["rgb"]
+        render_bkgd = batch["color_bkgd"]
+
+        def loss_fn(params):
+            colors, _, _, extras, cache = self._sample_and_render(
+                params, rays_o, rays_d, render_bkgd, k_strat, requires_grad
+            )
+            loss = smooth_l1_loss(colors, pixels)
+            mse = jnp.mean((colors - pixels) ** 2)
+            p_loss = (
+                propnet_loss(cache, extras["trans"], self.prop_loss_scaler)
+                if requires_grad
+                else 0.0
+            )
+            return loss + p_loss, (mse, p_loss)
+
+        (loss, (mse, p_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = PropTrainState(params, opt_state, key, state.step + 1)
+        return new_state, {"loss": loss, "mse": mse, "prop_loss": p_loss}
+
+    def train_step(self, state, batch, requires_grad: bool = False):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        return self._train_step(state, batch, requires_grad=requires_grad)
+
+    # -- evaluation --------------------------------------------------------
+    def _render_chunk_impl(self, params, rays_o, rays_d, bkgd):
+        colors, opacities, depths, _, _ = self._sample_and_render(
+            params, rays_o, rays_d, bkgd, key=None, requires_grad=False
+        )
+        return colors, opacities, depths
+
+    def render_image(self, state, data: Dict, chunk: int = 8192) -> np.ndarray:
+        rays_o = np.asarray(data["rays_o"])
+        rays_d = np.asarray(data["rays_d"])
+        bkgd = jnp.asarray(data["color_bkgd"])
+        out = []
+        n = rays_o.shape[0]
+        for s in range(0, n, chunk):
+            o = rays_o[s : s + chunk]
+            d = rays_d[s : s + chunk]
+            pad = chunk - o.shape[0]
+            if pad:
+                o = np.pad(o, ((0, pad), (0, 0)), constant_values=1e8)
+                d = np.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+            c, _, _ = self._render_chunk(
+                state.params, jnp.asarray(o), jnp.asarray(d), bkgd
+            )
+            c = np.asarray(c)
+            out.append(c[: chunk - pad] if pad else c)
+        return np.concatenate(out)
+
+    def eval_psnr(self, state, dataset, max_images=None) -> float:
+        psnrs = []
+        n = len(dataset) if max_images is None else min(len(dataset), max_images)
+        for i in range(n):
+            data = dataset[i]
+            rgb = self.render_image(state, data)
+            mse = float(np.mean((rgb - np.asarray(data["rgb"])) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+        return float(np.mean(psnrs))

@@ -32,6 +32,10 @@ class CompactSamples(NamedTuple):
             are dropped).
         overflow: () number of dropped samples (for the dynamic batch-size
             controller).
+        first_incomplete_ray: () id of the first ray whose samples were
+            truncated by the budget (== n_rays when nothing was dropped).
+            Rays >= this id have wrong renders and must be masked out of any
+            training loss.
     """
 
     ray_indices: jnp.ndarray
@@ -40,35 +44,47 @@ class CompactSamples(NamedTuple):
     valid: jnp.ndarray
     num_valid: jnp.ndarray
     overflow: jnp.ndarray
+    first_incomplete_ray: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=("budget",))
 def compact_samples(res: TraversalResult, budget: int) -> CompactSamples:
-    """Scatter valid padded samples into a flat fixed-size buffer, preserving
+    """Gather valid padded samples into a flat fixed-size buffer, preserving
     (ray, sample) order — the static-shape analog of the reference's packed
-    layout (reference: cuda/csrc/grid.cu:405-471 exact two-pass alloc)."""
+    layout (reference: cuda/csrc/grid.cu:405-471 exact two-pass alloc).
+
+    Implemented as a key sort (valid candidates keep their original order
+    key, invalid ones are pushed past the end) followed by one narrow
+    row-gather of the surviving slots — TPU sorts are fast and scatters are
+    not, so sort-compaction is ~6x cheaper than a scatter here.
+    """
     n_rays, K = res.valid.shape
+    n = n_rays * K
     flat_valid = res.valid.reshape(-1)
-    pos = jnp.cumsum(flat_valid.astype(jnp.int32)) - flat_valid.astype(jnp.int32)
-    keep = flat_valid & (pos < budget)
-    slot = jnp.where(keep, pos, budget)  # out-of-range slots are dropped
+    iota = jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(flat_valid, iota, iota + n)
+    _, order = jax.lax.sort_key_val(keys, iota)
+    sel = order[:budget]  # first `budget` valid candidates, in order
 
-    ray_ids = (
-        jnp.arange(n_rays * K, dtype=jnp.int32) // K
+    payload = jnp.stack(
+        [res.t_starts.reshape(-1), res.t_ends.reshape(-1)], axis=-1
     )
-    t0 = res.t_starts.reshape(-1)
-    t1 = res.t_ends.reshape(-1)
-
-    out_ray = jnp.zeros((budget,), jnp.int32).at[slot].set(
-        ray_ids, mode="drop"
-    )
-    out_t0 = jnp.zeros((budget,), t0.dtype).at[slot].set(t0, mode="drop")
-    out_t1 = jnp.zeros((budget,), t1.dtype).at[slot].set(t1, mode="drop")
+    rows = jnp.take(payload, sel, axis=0)  # (budget, 2)
     total = jnp.sum(flat_valid.astype(jnp.int32))
     num_valid = jnp.minimum(total, budget)
     valid = jnp.arange(budget, dtype=jnp.int32) < num_valid
+    out_ray = jnp.where(valid, sel // K, 0).astype(jnp.int32)
+    out_t0 = jnp.where(valid, rows[:, 0], 0.0)
+    out_t1 = jnp.where(valid, rows[:, 1], 0.0)
+    overflow = total - num_valid
+    # The sort keeps (ray, sample) order, so truncation hits a ray suffix:
+    # the first dropped sample's ray and everything after it is incomplete.
+    last_kept_ray = out_ray[jnp.maximum(num_valid - 1, 0)]
+    first_incomplete = jnp.where(
+        overflow > 0, last_kept_ray, jnp.asarray(n_rays, jnp.int32)
+    )
     return CompactSamples(
-        out_ray, out_t0, out_t1, valid, num_valid, total - num_valid
+        out_ray, out_t0, out_t1, valid, num_valid, overflow, first_incomplete
     )
 
 
@@ -107,15 +123,17 @@ def render_rays_with_occgrid(
         n_rays=n_rays,
         masks=samples.valid,
     )
-    colors = accumulate_along_rays(
-        weights, rgbs, samples.ray_indices, n_rays
+    # One fused scatter-free accumulation for rgb (3), opacity (1), depth (1)
+    # — compacted ray indices are sorted by construction.
+    packed = jnp.concatenate(
+        [rgbs, jnp.ones_like(t_mid[:, None]), t_mid[:, None]], axis=-1
     )
-    opacities = accumulate_along_rays(
-        weights, None, samples.ray_indices, n_rays
+    accum = accumulate_along_rays(
+        weights, packed, samples.ray_indices, n_rays, indices_sorted=True
     )
-    depths = accumulate_along_rays(
-        weights, t_mid[:, None], samples.ray_indices, n_rays
-    )
+    colors = accum[:, :3]
+    opacities = accum[:, 3:4]
+    depths = accum[:, 4:5]
     if expected_depths:
         depths = depths / jnp.clip(opacities, min=jnp.finfo(colors.dtype).eps)
     if render_bkgd is not None:
@@ -129,6 +147,102 @@ def render_rays_with_occgrid(
         "n_rendering_samples": samples.num_valid,
     }
     return colors, opacities, depths, extras
+
+
+def render_rays_occgrid_test(
+    field_fn: Callable,
+    occ_state,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    render_bkgd: Optional[jnp.ndarray] = None,
+    near_plane: float = 0.0,
+    far_plane: float = 1e10,
+    render_step_size: float = 5e-3,
+    cone_angle: float = 0.0,
+    early_stop_eps: float = 1e-4,
+    window: int = 64,
+    max_iters: int = 64,
+    expected_depths: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Iterative alive-ray inference renderer — fixed shapes, jittable.
+
+    TPU-native analog of the reference's Instant-NGP-style test renderer
+    (reference: examples/utils.py:267-439): march alive rays a fixed
+    candidate ``window`` at a time, composite incrementally with resumable
+    transmittance (``prefix_trans``), kill rays that saturate opacity or run
+    out of scene, resume survivors from their termination planes.  All state
+    is (n_rays,)-shaped, so the whole loop is one ``lax.while_loop``.
+
+    Args:
+        field_fn: ``(positions, dirs) -> (rgbs, sigmas)``.
+        occ_state: :class:`OccGridState`.
+
+    Returns:
+        colors (n_rays, 3), opacities (n_rays, 1), depths (n_rays, 1).
+    """
+    from ..estimators.occ_grid import OccGridState  # noqa: F401
+    from ..grid import traverse_grids_padded
+
+    n_rays = rays_o.shape[0]
+    dtype = rays_o.dtype
+
+    def cond(carry):
+        i, near, alive, *_ = carry
+        return (i < max_iters) & jnp.any(alive)
+
+    def body(carry):
+        i, near, alive, color, opacity, depth = carry
+        res = traverse_grids_padded(
+            rays_o,
+            rays_d,
+            occ_state.binaries,
+            occ_state.aabbs,
+            near_planes=near,
+            far_planes=jnp.full((n_rays,), far_plane, dtype),
+            step_size=render_step_size,
+            cone_angle=cone_angle,
+            max_samples=window,
+            rays_mask=alive,
+        )
+        t0, t1, valid = res.t_starts, res.t_ends, res.valid
+        t_mid = 0.5 * (t0 + t1)
+        pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+        dirs = jnp.broadcast_to(rays_d[:, None, :], pos.shape)
+        rgbs, sigmas = field_fn(pos.reshape(-1, 3), dirs.reshape(-1, 3))
+        rgbs = rgbs.reshape(n_rays, window, 3)
+        sigmas = sigmas.reshape(n_rays, window)
+
+        prefix_trans = jnp.broadcast_to(
+            (1.0 - opacity), (n_rays, window)
+        )
+        weights, trans, alphas = render_weight_from_density(
+            t0, t1, sigmas, masks=valid, prefix_trans=prefix_trans
+        )
+        color = color + jnp.sum(weights[..., None] * rgbs, axis=1)
+        opacity = opacity + jnp.sum(weights, axis=1, keepdims=True)
+        depth = depth + jnp.sum(weights * t_mid, axis=1, keepdims=True)
+
+        alive = alive & ~res.terminated & (
+            opacity[:, 0] <= 1.0 - early_stop_eps
+        )
+        return (i + 1, res.termination_planes, alive, color, opacity, depth)
+
+    near0 = jnp.full((n_rays,), near_plane, dtype)
+    init = (
+        jnp.zeros((), jnp.int32),
+        near0,
+        jnp.ones((n_rays,), bool),
+        jnp.zeros((n_rays, 3), dtype),
+        jnp.zeros((n_rays, 1), dtype),
+        jnp.zeros((n_rays, 1), dtype),
+    )
+    _, _, _, color, opacity, depth = jax.lax.while_loop(cond, body, init)
+
+    if expected_depths:
+        depth = depth / jnp.clip(opacity, min=jnp.finfo(dtype).eps)
+    if render_bkgd is not None:
+        color = color + render_bkgd * (1.0 - opacity)
+    return color, opacity, depth
 
 
 def render_image_with_occgrid(

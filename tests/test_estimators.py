@@ -1,0 +1,160 @@
+"""Estimator tests: occupancy-grid EMA updates (warmup + sampled branches),
+padded sampling with visibility filtering, and proposal-network sampling
+(shape/cache/loss contracts per reference estimators/)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfacc_tpu.estimators.occ_grid import (
+    init_occ_grid,
+    sampling_padded,
+    update_occ_grid,
+)
+from nerfacc_tpu.estimators.prop_net import (
+    propnet_loss,
+    propnet_sampling,
+)
+
+AABB = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+
+
+def sphere_occ_fn(x):
+    """Occupied inside a radius-0.5 sphere."""
+    return (jnp.linalg.norm(x, axis=-1) < 0.5).astype(jnp.float32)
+
+
+def test_occ_grid_warmup_update_marks_sphere():
+    state = init_occ_grid(AABB, resolution=16, levels=1)
+    key = jax.random.PRNGKey(0)
+    for step in range(3):
+        key, sub = jax.random.split(key)
+        state = update_occ_grid(
+            state, sub, jnp.asarray(step), sphere_occ_fn, warmup_steps=10
+        )
+    binaries = np.asarray(state.binaries[0])
+    # center occupied, corners empty
+    assert binaries[8, 8, 8]
+    assert not binaries[0, 0, 0]
+    assert not binaries[15, 15, 0]
+    frac = binaries.mean()
+    # sphere of r=0.5 in [-1,1]^3 fills ~6.5% of the volume
+    assert 0.02 < frac < 0.25, frac
+
+
+def test_occ_grid_sampled_update_decays_stale_cells():
+    state = init_occ_grid(AABB, resolution=16, levels=1)
+    key = jax.random.PRNGKey(0)
+    # bootstrap with everything occupied
+    state = update_occ_grid(
+        state, key, jnp.asarray(0), lambda x: jnp.ones(x.shape[0]),
+        warmup_steps=10,
+    )
+    assert np.asarray(state.binaries).mean() > 0.99
+    # then many sampled-phase updates with an empty field: EMA decays the
+    # touched cells (each update touches ~half the cells; with decay 0.5 a
+    # cell needs ~7 touches to fall below the 1e-2 threshold)
+    for step in range(100, 140):
+        key, sub = jax.random.split(key)
+        state = update_occ_grid(
+            state, sub, jnp.asarray(step), lambda x: jnp.zeros(x.shape[0]),
+            warmup_steps=10, ema_decay=0.5,
+        )
+    assert np.asarray(state.binaries).mean() < 0.5
+
+
+def test_sampling_padded_visibility_filter():
+    state = init_occ_grid(AABB, resolution=16, levels=1)
+    state = dataclasses.replace(
+        state, binaries=jnp.ones_like(state.binaries)
+    )
+    rays_o = jnp.array([[0.0, 0.0, -2.0]] * 4)
+    rays_d = jnp.array([[0.0, 0.0, 1.0]] * 4)
+
+    res_all = sampling_padded(
+        state, rays_o, rays_d, render_step_size=0.05, max_samples=128
+    )
+    n_all = int(res_all.valid.sum())
+    assert n_all > 0
+
+    # a sigma_fn returning huge density -> transmittance collapses after the
+    # first few samples; the visibility filter must prune the occluded tail
+    def sigma_fn(t0, t1, rid):
+        return jnp.full(t0.shape, 100.0)
+
+    res_vis = sampling_padded(
+        state,
+        rays_o,
+        rays_d,
+        sigma_fn=sigma_fn,
+        render_step_size=0.05,
+        early_stop_eps=1e-4,
+        max_samples=128,
+    )
+    n_vis = int(res_vis.valid.sum())
+    assert 0 < n_vis < n_all / 2, (n_vis, n_all)
+
+
+def test_sampling_padded_stratified_jitter():
+    state = init_occ_grid(AABB, resolution=8, levels=1)
+    state = dataclasses.replace(state, binaries=jnp.ones_like(state.binaries))
+    rays_o = jnp.array([[0.0, 0.0, -2.0]])
+    rays_d = jnp.array([[0.0, 0.0, 1.0]])
+    r1 = sampling_padded(
+        state, rays_o, rays_d, render_step_size=0.05, max_samples=64,
+        stratified=True, key=jax.random.PRNGKey(1),
+    )
+    r2 = sampling_padded(
+        state, rays_o, rays_d, render_step_size=0.05, max_samples=64,
+        stratified=True, key=jax.random.PRNGKey(2),
+    )
+    assert not np.allclose(np.asarray(r1.t_edges), np.asarray(r2.t_edges))
+
+
+def test_propnet_sampling_shapes_and_loss():
+    n_rays, num_samples = 8, 16
+
+    def prop_fn(t0, t1):
+        return jnp.ones_like(t0) * 0.5
+
+    t0, t1, cache = propnet_sampling(
+        [prop_fn, prop_fn],
+        [32, 16],
+        num_samples,
+        n_rays,
+        near_plane=0.2,
+        far_plane=10.0,
+        sampling_type="lindisp",
+        requires_grad=True,
+    )
+    assert t0.shape == (n_rays, num_samples)
+    assert t1.shape == (n_rays, num_samples)
+    assert (np.asarray(t1) >= np.asarray(t0) - 1e-6).all()
+    assert (np.asarray(t0) >= 0.2 - 1e-5).all()
+    assert len(cache) == 3  # two proposal levels + final
+
+    trans = jnp.linspace(1.0, 0.1, num_samples)[None].repeat(n_rays, 0)
+    loss = propnet_loss(cache, trans, loss_scaler=4.0)
+    assert np.isfinite(float(loss))
+
+    # without requires_grad, the cache stays empty
+    _, _, cache2 = propnet_sampling(
+        [prop_fn], [8], num_samples, n_rays, 0.2, 10.0, "uniform"
+    )
+    assert cache2 == []
+    assert float(propnet_loss(cache2, trans)) == 0.0
+
+
+def test_propnet_uniform_spacing():
+    """With constant density, uniform sampling yields ~even spacing."""
+
+    def prop_fn(t0, t1):
+        return jnp.zeros_like(t0)
+
+    t0, t1, _ = propnet_sampling(
+        [prop_fn], [16], 8, 4, near_plane=1.0, far_plane=2.0,
+        sampling_type="uniform",
+    )
+    widths = np.asarray(t1 - t0)
+    np.testing.assert_allclose(widths, widths.mean(), rtol=0.2)

@@ -1,0 +1,118 @@
+"""Model tests: hash-grid and CP encoders, NGP/CP/vanilla fields — shape
+contracts, selector zeroing, gradient flow, trunc_exp clamped backward."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfacc_tpu.models import (
+    HashGridEncoder,
+    NGPRadianceField,
+    SinusoidalEncoder,
+    TNeRFRadianceField,
+    VanillaNeRFRadianceField,
+    spherical_harmonics_16,
+    trunc_exp,
+)
+from nerfacc_tpu.models.cp_field import CPGridEncoder, CPRadianceField
+
+AABB = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+
+
+def test_trunc_exp_backward_clamped():
+    g = jax.grad(lambda x: trunc_exp(x))(20.0)
+    assert np.isfinite(g)
+    np.testing.assert_allclose(g, np.exp(15.0), rtol=1e-5)
+    np.testing.assert_allclose(
+        jax.grad(lambda x: trunc_exp(x))(2.0), np.exp(2.0), rtol=1e-5
+    )
+
+
+def test_sh16_constant_and_norm():
+    d = jnp.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    sh = spherical_harmonics_16(d)
+    assert sh.shape == (2, 16)
+    np.testing.assert_allclose(sh[:, 0], 0.28209479, rtol=1e-5)
+
+
+def test_sinusoidal_encoder_dims():
+    enc = SinusoidalEncoder(3, 0, 10, True)
+    x = jnp.ones((5, 3))
+    out = enc(x)
+    assert out.shape == (5, enc.latent_dim)
+    assert enc.latent_dim == (1 + 10 * 2) * 3
+
+
+def test_hash_grid_encoder_interpolates():
+    enc = HashGridEncoder(n_levels=4, base_resolution=4, max_resolution=32,
+                          log2_hashmap_size=12)
+    table = enc.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3))
+    out = enc(table, x)
+    assert out.shape == (16, enc.output_dim)
+    # continuity: nearby points give nearby features
+    out2 = enc(table, x + 1e-5)
+    np.testing.assert_allclose(out, out2, atol=1e-4)
+    # gradient reaches the table
+    g = jax.grad(lambda t: jnp.sum(enc(t, x) ** 2))(table)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_cp_encoder_and_field():
+    enc = CPGridEncoder(resolutions=(8, 16), ranks=(4, 4))
+    params = enc.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+    out = enc(params, x)
+    assert out.shape == (32, 8)
+    out2 = enc(params, x + 1e-5)
+    np.testing.assert_allclose(out, out2, atol=1e-2)
+
+    field = CPRadianceField(aabb=AABB, resolutions=(8, 16), ranks=(4, 4))
+    p = field.init(jax.random.PRNGKey(2))
+    pos = jax.random.uniform(jax.random.PRNGKey(3), (32, 3), minval=-1, maxval=1)
+    dirs = pos / jnp.linalg.norm(pos, axis=-1, keepdims=True)
+    rgb, dens = field(p, pos, dirs)
+    assert rgb.shape == (32, 3) and dens.shape == (32, 1)
+    assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()
+    assert (np.asarray(dens) >= 0).all()
+    # out-of-aabb density is zero
+    far = jnp.full((4, 3), 5.0)
+    assert np.asarray(field.query_density(p, far)).max() == 0.0
+    # gradients flow to lines and MLPs
+    g = jax.grad(lambda p: jnp.sum(field(p, pos, dirs)[0]))(p)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+    assert sum(float(jnp.abs(x).sum()) for x in flat) > 0
+
+
+def test_ngp_field_contract():
+    field = NGPRadianceField(aabb=AABB, n_levels=4, log2_hashmap_size=12,
+                             max_resolution=64)
+    p = field.init(jax.random.PRNGKey(0))
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-1, maxval=1)
+    dirs = pos / jnp.linalg.norm(pos, axis=-1, keepdims=True)
+    rgb, dens = field(p, pos, dirs)
+    assert rgb.shape == (16, 3) and dens.shape == (16, 1)
+    d, feat = field.query_density(p, pos, return_feat=True)
+    assert feat.shape == (16, 15)
+
+
+def test_vanilla_and_tnerf_fields():
+    field = VanillaNeRFRadianceField(net_depth=2, net_width=32,
+                                     net_width_condition=16)
+    p = field.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3), minval=-1, maxval=1)
+    cond = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    rgb, sigma = field(p, x, cond)
+    assert rgb.shape == (8, 3) and sigma.shape == (8, 1)
+    assert (np.asarray(sigma) >= 0).all()
+    opac = field.query_opacity(p, x, 0.01)
+    assert opac.shape == (8, 1)
+
+    tfield = TNeRFRadianceField()
+    tp = tfield.init(jax.random.PRNGKey(2))
+    t = jnp.zeros((8, 1))
+    rgb, sigma = tfield(tp, x, t, condition=cond)
+    assert rgb.shape == (8, 3) and sigma.shape == (8, 1)
+    # at init the warp is near-identity (output_init_scale=1e-4)
+    warped = tfield._warped(tp, x, t)
+    np.testing.assert_allclose(np.asarray(warped), np.asarray(x), atol=0.05)

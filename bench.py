@@ -27,10 +27,10 @@ def main():
     aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
     num_rays = 8192
     budget = 1 << 18
-    steps_per_call = 16
+    steps_per_call = 8
 
     ds = ProceduralSceneLoader(
-        split="train", num_rays=num_rays, width=320, height=320, n_train=8
+        split="train", num_rays=num_rays, width=256, height=256, n_train=6
     )
     field = CPRadianceField(aabb=tuple(aabb))
     trainer = NGPOccTrainer(
@@ -51,7 +51,7 @@ def main():
     # Warm up past the occupancy warmup phase so the measurement reflects
     # steady state (compiles + grid convergence).
     state = state._replace(step=jax.numpy.asarray(2048, jax.numpy.int32))
-    for _ in range(3):
+    for _ in range(2):
         state, auxs = trainer.train_steps(state, make_batches())
     jax.block_until_ready(auxs["loss"])
 

@@ -1,0 +1,104 @@
+"""Train T-NeRF (time-warped NeRF) on a D-NeRF dynamic scene.
+
+TPU-native equivalent of reference examples/train_mlp_tnerf.py: 4x64 warp
+MLP + vanilla NeRF, 30k steps, scheduled alpha threshold, per-ray
+timestamps flowing through the fused train step.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_root", type=str, required=True)
+    parser.add_argument("--scene", type=str, default="lego")
+    parser.add_argument("--train_split", type=str, default="train")
+    parser.add_argument("--max_steps", type=int, default=30000)
+    parser.add_argument("--target_sample_batch_size", type=int, default=1 << 16)
+    parser.add_argument("--init_batch_size", type=int, default=1024)
+    parser.add_argument("--log_every", type=int, default=5000)
+    parser.add_argument("--steps_per_call", type=int, default=8)
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args()
+
+    import jax
+
+    from nerfacc_tpu.data.dnerf_synthetic import SubjectLoader
+    from nerfacc_tpu.models import TNeRFRadianceField
+    from nerfacc_tpu.trainers import NGPOccTrainer
+
+    aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
+    train_dataset = SubjectLoader(
+        subject_id=args.scene,
+        root_fp=args.data_root,
+        split=args.train_split,
+        num_rays=args.init_batch_size,
+        seed=args.seed,
+    )
+    test_dataset = SubjectLoader(
+        subject_id=args.scene, root_fp=args.data_root, split="test"
+    )
+
+    field = TNeRFRadianceField()
+    trainer = NGPOccTrainer(
+        field=field,
+        aabb=aabb,
+        max_steps=args.max_steps,
+        render_step_size=5e-3,
+        lr=5e-4,
+        weight_decay=0.0,
+        adam_eps=1e-8,
+        warmup_lr_steps=0,
+        sample_budget=args.target_sample_batch_size,
+        max_samples_per_ray=1024,
+        time_dependent=True,
+        timestamps=train_dataset.timestamps,
+        seed=args.seed,
+    )
+    state = trainer.init_state()
+
+    from train_ngp_nerf_occ import round_to_bucket
+
+    buckets = sorted({1024 * 2**i for i in range(7)} | {1536 * 2**i for i in range(6)})
+    rng = np.random.default_rng(args.seed)
+    tic = time.time()
+    M = max(1, args.steps_per_call)
+    step = 0
+    while step <= args.max_steps:
+        datas = [
+            train_dataset[int(rng.integers(0, len(train_dataset)))]
+            for _ in range(M)
+        ]
+        batches = {k: np.stack([d[k] for d in datas]) for k in datas[0]}
+        state, auxs = trainer.train_steps(state, batches)
+        step += M
+
+        n_total = int(np.asarray(auxs["n_total_samples"])[-1])
+        if n_total > 0 and args.target_sample_batch_size > 0:
+            num_rays = train_dataset.num_rays
+            num_rays = int(
+                num_rays * (args.target_sample_batch_size / float(n_total))
+            )
+            train_dataset.update_num_rays(round_to_bucket(num_rays, buckets))
+
+        if step % args.log_every < M:
+            jax.block_until_ready(state.params)
+            mse = float(np.asarray(auxs["mse"])[-1])
+            psnr = -10.0 * np.log10(max(mse, 1e-10))
+            print(
+                f"elapsed_time={time.time() - tic:.2f}s | step={step} | "
+                f"psnr={psnr:.2f} | num_rays={len(datas[0]['rgb'])}"
+            )
+
+    psnr_avg = trainer.eval_psnr(state, test_dataset)
+    print(f"evaluation: psnr_avg={psnr_avg:.2f}")
+
+
+if __name__ == "__main__":
+    main()

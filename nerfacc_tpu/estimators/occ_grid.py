@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..grid import TraversalResult, _enlarge_aabb, traverse_grids_padded
+from ..grid import (
+    TraversalResult,
+    _enlarge_aabb,
+    traverse_grids_padded,
+    traverse_grids_windowed,
+)
 from ..volrend import (
     render_visibility_from_alpha,
     render_visibility_from_density,
@@ -261,6 +266,10 @@ def sampling_padded(
     cone_angle: float = 0.0,
     key: Optional[jax.Array] = None,
     max_samples: int = 1024,
+    windowed: bool = False,
+    n_windows: int = 48,
+    window_size: int = 8,
+    max_coarse: int = 160,
 ) -> TraversalResult:
     """Sampling with spatial skipping — padded fast path, pure and jittable.
 
@@ -268,6 +277,10 @@ def sampling_padded(
     whose ``valid`` mask already excludes occluded/transparent samples when a
     ``sigma_fn``/``alpha_fn`` is given.  The callbacks receive padded
     ``(n_rays, max_samples)`` tensors plus broadcast ``ray_indices``.
+
+    With ``windowed=True`` the coarse-to-fine traverser is used (2x fewer
+    random-occupancy rows; see :func:`traverse_grids_windowed`) and the
+    output has ``n_windows * window_size`` candidates per ray.
     """
     n_rays = rays_o.shape[0]
     near_planes = jnp.full((n_rays,), near_plane, rays_o.dtype)
@@ -282,17 +295,32 @@ def sampling_padded(
             jax.random.uniform(key, (n_rays,), rays_o.dtype) * render_step_size
         )
 
-    res = traverse_grids_padded(
-        rays_o,
-        rays_d,
-        state.binaries,
-        state.aabbs,
-        near_planes,
-        far_planes,
-        step_size=render_step_size,
-        cone_angle=cone_angle,
-        max_samples=max_samples,
-    )
+    if windowed:
+        res = traverse_grids_windowed(
+            rays_o,
+            rays_d,
+            state.binaries,
+            state.aabbs,
+            near_planes,
+            far_planes,
+            step_size=render_step_size,
+            cone_angle=cone_angle,
+            n_windows=n_windows,
+            window_size=window_size,
+            max_coarse=max_coarse,
+        )
+    else:
+        res = traverse_grids_padded(
+            rays_o,
+            rays_d,
+            state.binaries,
+            state.aabbs,
+            near_planes,
+            far_planes,
+            step_size=render_step_size,
+            cone_angle=cone_angle,
+            max_samples=max_samples,
+        )
     t_starts, t_ends, valid = res.t_starts, res.t_ends, res.valid
 
     if (alpha_thre > 0.0 or early_stop_eps > 0.0) and (
@@ -323,7 +351,7 @@ def sampling_padded(
         valid = valid & vis
 
     return TraversalResult(
-        res.t_edges, valid, res.termination_planes, res.terminated
+        res.t_starts, res.t_ends, valid, res.termination_planes, res.terminated
     )
 
 

@@ -85,47 +85,49 @@ class TraversalResult(NamedTuple):
     """Fixed-shape traversal output.
 
     Attributes:
-        t_edges: (n_rays, max_samples + 1) the marching lattice; candidate
-            interval ``k`` is ``[t_edges[k], t_edges[k+1]]``.
+        t_starts / t_ends: (n_rays, max_samples) candidate interval bounds
+            on the marching orbit.
         valid: (n_rays, max_samples) bool; candidate ``k`` was emitted.
         termination_planes: (n_rays,) resume point for iterative rendering
-            (the lattice value right after the last processed candidate).
+            (the orbit value right after the last processed candidate).
         terminated: (n_rays,) bool; the ray's traversal finished inside this
             candidate window (no more samples beyond it).
     """
 
-    t_edges: jnp.ndarray
+    t_starts: jnp.ndarray
+    t_ends: jnp.ndarray
     valid: jnp.ndarray
     termination_planes: jnp.ndarray
     terminated: jnp.ndarray
 
     @property
-    def t_starts(self) -> jnp.ndarray:
-        return self.t_edges[:, :-1]
-
-    @property
-    def t_ends(self) -> jnp.ndarray:
-        return self.t_edges[:, 1:]
-
-    @property
     def t_mids(self) -> jnp.ndarray:
-        return 0.5 * (self.t_edges[:, :-1] + self.t_edges[:, 1:])
+        return 0.5 * (self.t_starts + self.t_ends)
+
+    @property
+    def t_edges(self) -> jnp.ndarray:
+        """Shared-edge lattice (valid for contiguous-lattice traversals)."""
+        return jnp.concatenate([self.t_starts, self.t_ends[:, -1:]], axis=-1)
 
 
-def _march_lattice(
-    near_planes: jnp.ndarray, step_size: float, cone_angle: float, n_edges: int
+def _orbit_t(
+    near_planes: jnp.ndarray,
+    k: jnp.ndarray,
+    step_size: float,
+    cone_angle: float,
 ) -> jnp.ndarray:
     """Closed form of the reference's marching orbit (grid.cu:23-28).
 
     ``t_{k+1} = t_k + clamp(t_k * cone_angle, step_size, 1e10)``: linear steps
     of ``step_size`` while ``t < step_size / cone_angle``, geometric growth by
-    ``(1 + cone_angle)`` afterwards.
+    ``(1 + cone_angle)`` afterwards.  ``k`` may be any (broadcastable) array
+    of orbit indices.
 
     Returns:
-        (n_rays, n_edges) lattice values, ``t_0 = near_plane``.
+        orbit values ``t_k``, shape = broadcast(near[:, None], k).
     """
-    k = jnp.arange(n_edges, dtype=near_planes.dtype)[None, :]
-    near = near_planes[:, None]
+    near = near_planes[:, None] if near_planes.ndim == 1 else near_planes
+    k = k.astype(near.dtype)
     if cone_angle <= 0.0:
         return near + k * step_size
     tau = step_size / cone_angle
@@ -134,6 +136,14 @@ def _march_lattice(
     linear = near + k * step_size
     geom = t_lin_end * jnp.power(1.0 + cone_angle, jnp.maximum(k - n_lin, 0.0))
     return jnp.where(k <= n_lin, linear, geom)
+
+
+def _march_lattice(
+    near_planes: jnp.ndarray, step_size: float, cone_angle: float, n_edges: int
+) -> jnp.ndarray:
+    """(n_rays, n_edges) consecutive orbit values, ``t_0 = near_plane``."""
+    k = jnp.arange(n_edges, dtype=near_planes.dtype)[None, :]
+    return _orbit_t(near_planes, k, step_size, cone_angle)
 
 
 def _grid_segments(
@@ -220,6 +230,211 @@ def _occupancy_lookup(
     rx, ry, rz = binaries.shape[1:]
     flat = ((level * rx + idx[..., 0]) * ry + idx[..., 1]) * rz + idx[..., 2]
     return jnp.take(binaries.reshape(-1), flat)
+
+
+def _orbit_index(
+    near: jnp.ndarray, t: jnp.ndarray, step_size: float, cone_angle: float
+) -> jnp.ndarray:
+    """Smallest orbit index ``k`` whose midpoint ``m_k >= t`` (closed-form
+    inverse of :func:`_orbit_t`)."""
+    if cone_angle <= 0.0:
+        k = jnp.ceil((t - near) / step_size - 0.5)
+        return jnp.clip(k, min=0.0).astype(jnp.int32)
+    tau = step_size / cone_angle
+    n_lin = jnp.clip(jnp.ceil((tau - near) / step_size), min=0.0)
+    t_lin_end = near + n_lin * step_size
+    k_lin = jnp.ceil((t - near) / step_size - 0.5)
+    # geometric regime: m_k = t_k * (1 + cone/2), t_k = t_lin_end * g^(k-n_lin)
+    g = 1.0 + cone_angle
+    ratio = jnp.clip(t / (1.0 + 0.5 * cone_angle) / jnp.clip(t_lin_end, min=1e-10), min=1e-10)
+    k_geo = n_lin + jnp.ceil(jnp.log(ratio) / jnp.log(g))
+    k = jnp.where(t <= t_lin_end * (1.0 + 0.5 * cone_angle), k_lin, k_geo)
+    return jnp.clip(k, min=0.0).astype(jnp.int32)
+
+
+def pool_binaries(binaries: jnp.ndarray, pool: int, dilation: int = 1) -> jnp.ndarray:
+    """Conservative low-res occupancy: max-pool by ``pool`` then dilate by
+    ``dilation`` cells (a coarse cell is set if any fine cell within reach is
+    set).  Used as the first phase of the windowed traversal."""
+    m, rx, ry, rz = binaries.shape
+    assert rx % pool == 0 and ry % pool == 0 and rz % pool == 0
+    x = jax.lax.reduce_window(
+        binaries,
+        False,
+        jax.lax.bitwise_or,
+        (1, pool, pool, pool),
+        (1, pool, pool, pool),
+        "VALID",
+    )
+    if dilation > 0:
+        w = 2 * dilation + 1
+        x = jax.lax.reduce_window(
+            x, False, jax.lax.bitwise_or, (1, w, w, w), (1, 1, 1, 1), "SAME"
+        )
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "step_size",
+        "cone_angle",
+        "n_windows",
+        "window_size",
+        "max_coarse",
+        "pool",
+        "dilation",
+    ),
+)
+def traverse_grids_windowed(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    binaries: jnp.ndarray,
+    aabbs: jnp.ndarray,
+    near_planes: Optional[jnp.ndarray] = None,
+    far_planes: Optional[jnp.ndarray] = None,
+    step_size: float = 1e-3,
+    cone_angle: float = 0.0,
+    n_windows: int = 40,
+    window_size: int = 8,
+    max_coarse: int = 192,
+    pool: int = 4,
+    dilation: int = 1,
+    rays_mask: Optional[jnp.ndarray] = None,
+) -> TraversalResult:
+    """Coarse-to-fine traversal: 2-4x fewer random-occupancy rows per ray.
+
+    Phase 1 walks the marching orbit at a stride of ``window_size`` against a
+    max-pooled + dilated occupancy grid (conservative: never rejects a window
+    containing a fine-valid sample).  Phase 2 selects each ray's first
+    ``n_windows`` surviving windows and evaluates the exact fine lattice only
+    inside them.  Both phases stay on the same orbit, so results match
+    :func:`traverse_grids_padded` exactly wherever the window budget is not
+    exhausted; exhaustion is reported via ``terminated`` / resumable
+    ``termination_planes`` like the reference's ``traverse_steps_limit``
+    (grid.cu:184,208).
+
+    Returns:
+        :class:`TraversalResult` with ``(n_rays, n_windows * window_size)``
+        candidate buffers.
+    """
+    n_rays = rays_o.shape[0]
+    dtype = rays_o.dtype
+    f = window_size
+    Kc = max_coarse
+    W = n_windows
+    if near_planes is None:
+        near_planes = jnp.zeros((n_rays,), dtype)
+    if far_planes is None:
+        far_planes = jnp.full((n_rays,), jnp.inf, dtype)
+
+    t_mins, t_maxs, hits = ray_aabb_intersect(rays_o, rays_d, aabbs)
+    t_cat = jnp.concatenate([t_mins, t_maxs], axis=-1)
+    t_indices = jnp.argsort(t_cat, axis=-1, stable=True)
+    t_sorted = jnp.take_along_axis(t_cat, t_indices, axis=-1)
+    seg_lo, seg_hi, seg_level, seg_valid = _grid_segments(
+        t_sorted, t_indices, hits, near_planes, far_planes
+    )
+    n_segments = seg_lo.shape[-1]
+
+    # ---- phase 1: coarse windows over the pooled grid -------------------
+    coarse = pool_binaries(binaries, pool, dilation)
+    # Start each ray's window sweep at its first grid-segment entry (rounded
+    # down to a window boundary so everything stays on the orbit) — rays
+    # from outside the grids would otherwise burn ~25% of their coarse
+    # candidates on empty space before the first AABB.
+    t_entry = jnp.min(
+        jnp.where(seg_valid, seg_lo, jnp.inf), axis=-1
+    )  # (n,)
+    k_entry = _orbit_index(near_planes, t_entry, step_size, cone_angle)
+    k_entry = jnp.where(jnp.isfinite(t_entry), (k_entry // f) * f, 0)
+    j0 = (k_entry // f)[:, None]  # first window index per ray
+
+    Tc = _orbit_t(
+        near_planes,
+        (j0 + jnp.arange(Kc + 1, dtype=jnp.int32)[None, :]) * f,
+        step_size, cone_angle,
+    )  # (n, Kc+1)
+    Mc = 0.5 * (Tc[:, :-1] + Tc[:, 1:])
+
+    intersects = jnp.zeros((n_rays, Kc), dtype=bool)
+    mid_inside = jnp.zeros((n_rays, Kc), dtype=bool)
+    level_c = jnp.zeros((n_rays, Kc), dtype=jnp.int32)
+    for j in range(n_segments):
+        lo = seg_lo[:, j : j + 1]
+        hi = seg_hi[:, j : j + 1]
+        sv = seg_valid[:, j : j + 1]
+        inter_j = sv & (lo < Tc[:, 1:]) & (hi > Tc[:, :-1])
+        mid_j = sv & (Mc >= lo) & (Mc < hi)
+        intersects = intersects | inter_j
+        mid_inside = mid_inside | mid_j
+        level_c = jnp.where(mid_j | (inter_j & ~mid_inside), seg_level[:, j : j + 1], level_c)
+
+    pos_c = rays_o[:, None, :] + Mc[..., None] * rays_d[:, None, :]
+    occ_c = _occupancy_lookup(pos_c, level_c, coarse, aabbs)
+    # windows whose midpoint is outside every segment but that still touch
+    # one (segment entry/exit straddlers) are kept unconditionally —
+    # conservative; the fine phase re-tests exactly.
+    window_valid = intersects & (occ_c | ~mid_inside)
+    if rays_mask is not None:
+        window_valid = window_valid & rays_mask[:, None]
+
+    # ---- phase 2: first W surviving windows, exact fine lattice ---------
+    iota_w = jnp.broadcast_to(
+        jnp.arange(Kc, dtype=jnp.int32)[None, :], (n_rays, Kc)
+    )
+    keys = jnp.where(window_valid, iota_w, iota_w + Kc)
+    keys_sorted = jnp.sort(keys, axis=-1)
+    sel_keys = keys_sorted[:, :W]
+    wvalid = sel_keys < Kc
+    wsel = jnp.where(wvalid, sel_keys, 0)
+
+    k_fine = (
+        ((j0 + wsel) * f)[:, :, None]
+        + jnp.arange(f, dtype=jnp.int32)[None, None, :]
+    ).reshape(n_rays, W * f)
+    t0 = _orbit_t(near_planes, k_fine, step_size, cone_angle)
+    t1 = _orbit_t(near_planes, k_fine + 1, step_size, cone_angle)
+    t_mids = 0.5 * (t0 + t1)
+
+    inside_any = jnp.zeros(t_mids.shape, dtype=bool)
+    level = jnp.zeros(t_mids.shape, dtype=jnp.int32)
+    for j in range(n_segments):
+        inside_j = (
+            seg_valid[:, j : j + 1]
+            & (t_mids >= seg_lo[:, j : j + 1])
+            & (t_mids < seg_hi[:, j : j + 1])
+        )
+        inside_any = inside_any | inside_j
+        level = jnp.where(inside_j, seg_level[:, j : j + 1], level)
+
+    pos = rays_o[:, None, :] + t_mids[..., None] * rays_d[:, None, :]
+    occupied = _occupancy_lookup(pos, level, binaries, aabbs)
+    valid = inside_any & occupied & jnp.repeat(wvalid, f, axis=-1)
+    if rays_mask is not None:
+        valid = valid & rays_mask[:, None]
+
+    # ---- termination -----------------------------------------------------
+    t_hi_last = jnp.max(jnp.where(seg_valid, seg_hi, -jnp.inf), axis=-1)
+    has_any_segment = jnp.any(seg_valid, axis=-1)
+    k_natural = _orbit_index(near_planes, t_hi_last, step_size, cone_angle)
+    n_valid_windows = jnp.sum(window_valid.astype(jnp.int32), axis=-1)
+    truncated = n_valid_windows > W
+    # first unprocessed valid window (defined when truncated)
+    j_next = jnp.where(truncated, j0[:, 0] + keys_sorted[:, W % Kc], 0)
+    k_stop = jnp.where(truncated, j_next * f, k_natural)
+    termination_planes = _orbit_t(
+        near_planes, k_stop[:, None], step_size, cone_angle
+    )[:, 0]
+    termination_planes = jnp.where(
+        has_any_segment, termination_planes, near_planes
+    )
+    terminated = jnp.where(has_any_segment, ~truncated, True)
+    if rays_mask is not None:
+        termination_planes = jnp.where(rays_mask, termination_planes, near_planes)
+        terminated = jnp.where(rays_mask, terminated, True)
+
+    return TraversalResult(t0, t1, valid, termination_planes, terminated)
 
 
 @functools.partial(
@@ -339,7 +554,9 @@ def traverse_grids_padded(
             rays_mask, termination_planes, near_planes
         )
 
-    return TraversalResult(t_edges, valid, termination_planes, terminated)
+    return TraversalResult(
+        t_edges[:, :-1], t_edges[:, 1:], valid, termination_planes, terminated
+    )
 
 
 def traverse_grids(

@@ -106,7 +106,7 @@ def make_dp_train_step(trainer, mesh: Mesh, axis_name: str = "data"):
         samples = compact_samples(res, local_budget)
 
         def loss_fn(params):
-            def rgb_sigma_fn(positions, dirs):
+            def rgb_sigma_fn(positions, dirs, ray_indices):
                 rgb, density = trainer.field(params, positions, dirs)
                 return rgb, density[..., 0]
 

@@ -37,10 +37,16 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_lr_schedule(max_steps: int, base_lr: float = 1e-2):
-    """LinearLR warmup (0.01x over 100 steps) chained with MultiStep 0.33
-    decay at 1/2, 3/4, 9/10 (reference: train_ngp_nerf_occ.py:128-143)."""
-    warmup = optax.linear_schedule(base_lr * 0.01, base_lr, 100)
+def make_lr_schedule(max_steps: int, base_lr: float = 1e-2, warmup: int = 100):
+    """LinearLR warmup (0.01x over ``warmup`` steps; 0 disables) chained with
+    MultiStep 0.33 decay at 1/2, 3/4, 9/10 (reference:
+    train_ngp_nerf_occ.py:128-143; the MLP trainers use no warmup,
+    train_mlp_nerf.py:98-107)."""
+    warmup = (
+        optax.linear_schedule(base_lr * 0.01, base_lr, warmup)
+        if warmup > 0
+        else optax.constant_schedule(base_lr)
+    )
     boundaries = {
         max_steps // 2: 0.33,
         max_steps * 3 // 4: 0.33,
@@ -99,13 +105,25 @@ class NGPOccTrainer:
     lr: float = 1e-2
     sample_budget: int = 2**18
     max_samples_per_ray: int = 1024
+    windowed: bool = True
+    n_windows: int = 48
+    window_size: int = 8
+    # dynamic scenes (T-NeRF): condition the field on per-ray timestamps
+    # (batches must carry a "timestamps" (n_rays, 1) entry) and feed random
+    # frame times into occupancy updates (reference: train_mlp_tnerf.py:128-135)
+    time_dependent: bool = False
+    timestamps: Any = None  # (n_frames, 1) all frame times, for occ updates
+    adam_eps: float = 1e-15
+    warmup_lr_steps: int = 100
     seed: int = 42
 
     def __post_init__(self):
-        self.schedule = make_lr_schedule(self.max_steps, self.lr)
+        self.schedule = make_lr_schedule(
+            self.max_steps, self.lr, self.warmup_lr_steps
+        )
         self.optimizer = optax.chain(
             optax.add_decayed_weights(self.weight_decay),
-            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=self.adam_eps),
             optax.scale_by_learning_rate(self.schedule),
         )
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
@@ -126,17 +144,40 @@ class NGPOccTrainer:
             params, opt_state, occ_state, key, jnp.zeros((), jnp.int32)
         )
 
+    def _apply_field(self, params, positions, dirs, ray_indices, batch):
+        """Evaluate the radiance field on flat samples, wiring per-ray
+        extras (timestamps) through when the field is time-dependent."""
+        if self.time_dependent:
+            t = jnp.take(batch["timestamps"], ray_indices, axis=0)
+            return self.field(params, positions, t, condition=dirs)
+        return self.field(params, positions, dirs)
+
     # -- one fused step ----------------------------------------------------
     def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple:
-        key, k_occ, k_strat = jax.random.split(state.key, 3)
+        key, k_occ, k_strat, k_time = jax.random.split(state.key, 4)
         params = state.params
 
         # Occupancy-grid EMA update every `update_interval` steps
         # (reference: train_ngp_nerf_occ.py:161-170).
-        def occ_eval_fn(x):
-            return self.field.query_density(params, x)[..., 0] * (
-                self.render_step_size
+        if self.time_dependent:
+            assert self.timestamps is not None, (
+                "time_dependent trainers need the dataset's frame timestamps"
             )
+            timestamps = jnp.asarray(self.timestamps)
+
+            def occ_eval_fn(x):
+                # random frame time per queried cell
+                # (reference: mlp.py:264-271 query_opacity)
+                return self.field.query_opacity(
+                    params, x, timestamps, self.render_step_size, k_time
+                )[..., 0]
+
+        else:
+
+            def occ_eval_fn(x):
+                return self.field.query_density(params, x)[..., 0] * (
+                    self.render_step_size
+                )
 
         occ_state = jax.lax.cond(
             state.step % self.update_interval == 0,
@@ -172,6 +213,12 @@ class NGPOccTrainer:
             cone_angle=self.cone_angle,
             key=k_strat,
             max_samples=self.max_samples_per_ray,
+            windowed=self.windowed,
+            n_windows=self.n_windows,
+            window_size=self.window_size,
+            max_coarse=max(
+                self.max_samples_per_ray // self.window_size + 32, 64
+            ),
         )
         samples = compact_samples(res, self.sample_budget)
 
@@ -185,8 +232,10 @@ class NGPOccTrainer:
         n_ok = jnp.maximum(jnp.sum(ray_ok), 1)
 
         def loss_fn(params):
-            def rgb_sigma_fn(positions, dirs):
-                rgb, density = self.field(params, positions, dirs)
+            def rgb_sigma_fn(positions, dirs, ray_indices):
+                rgb, density = self._apply_field(
+                    params, positions, dirs, ray_indices, batch
+                )
                 return rgb, density[..., 0]
 
             colors, _, _, extras = render_rays_with_occgrid(
@@ -243,16 +292,11 @@ class NGPOccTrainer:
         return self._train_steps(state, batches)
 
     def train_step(self, state: TrainState, batch: Dict) -> Tuple:
-        batch = {
-            "rays_o": jnp.asarray(batch["rays_o"]),
-            "rays_d": jnp.asarray(batch["rays_d"]),
-            "rgb": jnp.asarray(batch["rgb"]),
-            "color_bkgd": jnp.asarray(batch["color_bkgd"]),
-        }
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
         return self._train_step(state, batch)
 
     # -- evaluation --------------------------------------------------------
-    def _render_chunk_impl(self, params, occ_state, rays_o, rays_d, bkgd):
+    def _render_chunk_impl(self, params, occ_state, rays_o, rays_d, bkgd, t):
         # Iterative alive-ray renderer: fixed-window marching with resumable
         # transmittance — per-ray sample counts are unbounded, so a fixed
         # flat budget (which silently truncates rays) is not usable for
@@ -260,7 +304,13 @@ class NGPOccTrainer:
         from ..utils.rendering import render_rays_occgrid_test
 
         def field_fn(positions, dirs):
-            rgb, density = self.field(params, positions, dirs)
+            if self.time_dependent:
+                times = jnp.broadcast_to(t, positions.shape[:1] + (1,))
+                rgb, density = self.field(
+                    params, positions, times, condition=dirs
+                )
+            else:
+                rgb, density = self.field(params, positions, dirs)
             return rgb, density[..., 0]
 
         colors, opacities, depths = render_rays_occgrid_test(
@@ -285,6 +335,12 @@ class NGPOccTrainer:
         rays_o = np.asarray(data["rays_o"])
         rays_d = np.asarray(data["rays_d"])
         bkgd = jnp.asarray(data["color_bkgd"])
+        t = jnp.asarray(
+            data["timestamps"].reshape(-1)[0]
+            if "timestamps" in data
+            else 0.0,
+            jnp.float32,
+        )
         n = rays_o.shape[0]
         out = []
         for s in range(0, n, chunk):
@@ -295,7 +351,12 @@ class NGPOccTrainer:
                 o = np.pad(o, ((0, pad), (0, 0)), constant_values=1e8)
                 d = np.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
             c, _, _ = self._render_chunk(
-                state.params, state.occ_state, jnp.asarray(o), jnp.asarray(d), bkgd
+                state.params,
+                state.occ_state,
+                jnp.asarray(o),
+                jnp.asarray(d),
+                bkgd,
+                t,
             )
             c = np.asarray(c)
             out.append(c[: chunk - pad] if pad else c)

@@ -99,8 +99,10 @@ def render_rays_with_occgrid(
     """Differentiable composite of a compacted sample buffer.
 
     Args:
-        rgb_sigma_fn: ``(positions (N,3), dirs (N,3)) -> (rgbs (N,3),
-            sigmas (N,))`` evaluated only on the flat budget buffer.
+        rgb_sigma_fn: ``(positions (N,3), dirs (N,3), ray_indices (N,)) ->
+            (rgbs (N,3), sigmas (N,))`` evaluated only on the flat budget
+            buffer (``ray_indices`` lets time/appearance-conditioned fields
+            look up per-ray extras).
         rays_o / rays_d: (n_rays, 3).
         samples: a :class:`CompactSamples`.
 
@@ -113,7 +115,7 @@ def render_rays_with_occgrid(
     d = jnp.take(rays_d, samples.ray_indices, axis=0)
     positions = o + t_mid[:, None] * d
 
-    rgbs, sigmas = rgb_sigma_fn(positions, d)
+    rgbs, sigmas = rgb_sigma_fn(positions, d, samples.ray_indices)
 
     weights, trans, alphas = render_weight_from_density(
         samples.t_starts,
@@ -291,7 +293,7 @@ def render_image_with_occgrid(
         )
         samples = compact_samples(res, sample_budget)
         colors, opacities, depths, _ = render_rays_with_occgrid(
-            field_fn, o, d, samples, render_bkgd=bkgd
+            lambda p, dd, rid: field_fn(p, dd), o, d, samples, render_bkgd=bkgd
         )
         return colors, opacities, depths
 

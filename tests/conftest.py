@@ -4,10 +4,16 @@ Unlike the reference's tests (which hard-require cuda:0, see
 reference tests/test_scan.py:4), this suite runs anywhere — CPU CI included —
 while still exercising the multi-device sharding paths via
 ``xla_force_host_platform_device_count``.
+
+NOTE: the environment may preset ``JAX_PLATFORMS`` to a remote-compile
+accelerator backend; tests must override (not setdefault) it, or every test
+compile round-trips through the remote service and queues behind training
+jobs.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -109,7 +109,7 @@ def test_sampling_padded_stratified_jitter():
         state, rays_o, rays_d, render_step_size=0.05, max_samples=64,
         stratified=True, key=jax.random.PRNGKey(2),
     )
-    assert not np.allclose(np.asarray(r1.t_edges), np.asarray(r2.t_edges))
+    assert not np.allclose(np.asarray(r1.t_starts), np.asarray(r2.t_starts))
 
 
 def test_propnet_sampling_shapes_and_loss():

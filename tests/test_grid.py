@@ -144,6 +144,49 @@ def test_traverse_grids_iterative_resume():
     np.testing.assert_allclose(it_sum_t1, ref_sum_t1, atol=1e-1)
 
 
+def test_traverse_grids_windowed_matches_padded():
+    """The coarse-to-fine windowed traverser must emit exactly the padded
+    traverser's samples on rays whose window budget is not exhausted."""
+    from nerfacc_tpu.grid import traverse_grids_windowed
+
+    key = jax.random.PRNGKey(0)
+    n_rays = 64
+    rays_o, rays_d = _random_rays(key, n_rays, origin_scale=0.2)
+    rays_o = rays_o + jnp.array([2.0, 0.0, 0.0])
+
+    # coherent occupancy: a thick spherical shell
+    g = jnp.stack(
+        jnp.meshgrid(*[jnp.linspace(-1.4, 1.4, 32)] * 3, indexing="ij"), -1
+    )
+    r = jnp.linalg.norm(g, axis=-1)
+    binaries = ((r > 0.6) & (r < 1.0))[None]
+    aabbs = jnp.array([[-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]])
+
+    rp = traverse_grids_padded(
+        rays_o, rays_d, binaries, aabbs, step_size=0.02, max_samples=512
+    )
+    rw = traverse_grids_windowed(
+        rays_o,
+        rays_d,
+        binaries,
+        aabbs,
+        step_size=0.02,
+        n_windows=32,
+        window_size=8,
+        max_coarse=72,
+        pool=4,
+        dilation=1,
+    )
+    ok = np.asarray(rw.terminated)
+    assert ok.mean() > 0.5, "too many truncated rays for this scene"
+    vp, vw = np.asarray(rp.valid), np.asarray(rw.valid)
+    tp0, tw0 = np.asarray(rp.t_starts), np.asarray(rw.t_starts)
+    for rr in np.nonzero(ok)[0]:
+        sp = set(np.round(tp0[rr][vp[rr]], 5).tolist())
+        sw = set(np.round(tw0[rr][vw[rr]], 5).tolist())
+        assert sp == sw, (rr, len(sp), len(sw))
+
+
 def test_traverse_grids_with_near_far_planes():
     """(reference tests/test_grid.py:134-159)"""
     rays_o = jnp.array([[-1.0, 0.0, 0.0]])

@@ -78,8 +78,12 @@ class ProceduralSceneLoader:
         self.blob_scales = jnp.asarray(
             rng.uniform(0.05, 0.22, (num_blobs,)), jnp.float32
         )
+        # dense blobs: rays saturate within a few samples of the surface,
+        # mimicking the opaque-object regime of the nerf_synthetic scenes
+        # (semi-transparent media would make every ray traverse the whole
+        # volume, which benchmarks a different workload)
         self.blob_density = jnp.asarray(
-            rng.uniform(20.0, 80.0, (num_blobs,)), jnp.float32
+            rng.uniform(80.0, 300.0, (num_blobs,)), jnp.float32
         )
         self.blob_colors = jnp.asarray(
             rng.uniform(0.1, 1.0, (num_blobs, 3)), jnp.float32

@@ -135,9 +135,10 @@ def searchsorted(
 def importance_sampling(
     intervals: RayIntervals,
     cdfs: jnp.ndarray,
-    n_intervals_per_ray: int,
+    n_intervals_per_ray,
     stratified: bool = False,
     key: Optional[jax.Array] = None,
+    max_intervals_per_ray: Optional[int] = None,
 ) -> Tuple[RayIntervals, RaySamples]:
     """Inverse-transform sampling of per-ray CDFs (batched layout).
 
@@ -164,8 +165,19 @@ def importance_sampling(
         >>> cdfs = jnp.array([[0., 0.5], [0., 1.]])
         >>> iv, s = importance_sampling(intervals, cdfs, 2)
     """
+    if not isinstance(n_intervals_per_ray, int):
+        return _importance_sampling_varying(
+            intervals,
+            cdfs,
+            jnp.asarray(n_intervals_per_ray),
+            stratified,
+            key,
+            max_intervals_per_ray,
+        )
     vals = intervals.vals
-    assert vals.ndim == 2, "flattened importance_sampling not yet supported"
+    assert vals.ndim == 2, (
+        "pass a per-ray n_intervals_per_ray array for flattened inputs"
+    )
     n_rays, n_edges = vals.shape
     n = n_intervals_per_ray
 
@@ -227,6 +239,97 @@ def importance_sampling(
         edges = jnp.concatenate([t_min, t_max], axis=-1)
 
     return RayIntervals(vals=edges), RaySamples(vals=samples_vals)
+
+
+def _importance_sampling_varying(
+    intervals: RayIntervals,
+    cdfs: jnp.ndarray,
+    n_per_ray: jnp.ndarray,
+    stratified: bool,
+    key: Optional[jax.Array],
+    max_n: Optional[int],
+) -> Tuple[RayIntervals, RaySamples]:
+    """Per-ray sample counts (the reference's tensor overload,
+    pdf.cu:294-355).  TPU formulation: padded ``(n_rays, max_n)`` outputs
+    with validity masks instead of exact-size packed buffers; sample ``sid``
+    of ray ``r`` is valid iff ``sid < n_per_ray[r]``.
+
+    Accepts flattened (``packed_info``) or batched interval inputs.
+    """
+    n_rays = n_per_ray.shape[0]
+    if max_n is None:
+        max_n = int(n_per_ray.max())  # requires concrete values
+    vals = intervals.vals
+
+    if vals.ndim == 2:
+        n_edges = vals.shape[-1]
+        base = jnp.arange(n_rays, dtype=jnp.int32) * n_edges
+        last = base + n_edges - 1
+        flat_vals = vals.reshape(-1)
+        flat_cdfs = cdfs.reshape(-1)
+    else:
+        starts = intervals.packed_info[:, 0].astype(jnp.int32)
+        cnts = intervals.packed_info[:, 1].astype(jnp.int32)
+        base = starts
+        last = starts + jnp.maximum(cnts, 1) - 1
+        flat_vals = vals
+        flat_cdfs = cdfs.reshape(-1)
+
+    u_floor = jnp.take(flat_cdfs, base)  # (n_rays,)
+    u_ceil = jnp.take(flat_cdfs, last)
+    safe_n = jnp.maximum(n_per_ray, 1).astype(flat_cdfs.dtype)
+    u_step = (u_ceil - u_floor) / safe_n
+
+    if stratified:
+        assert key is not None, "stratified sampling requires a PRNG key"
+        bias = jax.random.uniform(key, (n_rays, 1), dtype=flat_cdfs.dtype)
+    else:
+        bias = jnp.full((n_rays, 1), 0.5, dtype=flat_cdfs.dtype)
+
+    sid = jnp.arange(max_n, dtype=flat_cdfs.dtype)[None, :]
+    u = u_floor[:, None] + (sid + bias) * u_step[:, None]  # (n_rays, max_n)
+
+    flat_u = u.reshape(-1)
+    base_b = jnp.repeat(base, max_n)
+    last_b = jnp.repeat(last, max_n)
+    p = _upper_bound(flat_cdfs, base_b, last_b, flat_u)
+    p0 = jnp.clip(p - 1, base_b, last_b)
+    p1 = jnp.clip(p, base_b, last_b)
+
+    u_lower = jnp.take(flat_cdfs, p0)
+    u_upper = jnp.take(flat_cdfs, p1)
+    t_lower = jnp.take(flat_vals, p0)
+    t_upper = jnp.take(flat_vals, p1)
+    denom = u_upper - u_lower
+    mid = 0.5 * (t_lower + t_upper)
+    lerped = (flat_u - u_lower) * (t_upper - t_lower) / jnp.where(
+        denom < 1e-10, 1.0, denom
+    ) + t_lower
+    t = jnp.where(denom < 1e-10, mid, lerped).reshape(n_rays, max_n)
+
+    sample_valid = jnp.arange(max_n)[None, :] < n_per_ray[:, None]
+
+    t_min = jnp.take(flat_vals, base)[:, None]
+    t_max = jnp.take(flat_vals, last)[:, None]
+    if max_n > 1:
+        inner = 0.5 * (t[:, 1:] + t[:, :-1])
+        first = jnp.maximum(t[:, :1] - 0.5 * (t[:, 1:2] - t[:, :1]), t_min)
+        # per-ray last sample index varies: the closing edge sits after
+        # sample n_r - 1; build all edges then mask
+        lastv = jnp.minimum(
+            t[:, -1:] + 0.5 * (t[:, -1:] - t[:, -2:-1]), t_max
+        )
+        edges = jnp.concatenate([first, inner, lastv], axis=-1)
+    else:
+        edges = jnp.concatenate([t_min, t_max], axis=-1)
+    edge_valid = jnp.arange(max_n + 1)[None, :] <= n_per_ray[:, None]
+    is_left = edge_valid & (jnp.arange(max_n + 1)[None, :] < n_per_ray[:, None])
+    is_right = edge_valid & (jnp.arange(max_n + 1)[None, :] > 0)
+
+    return (
+        RayIntervals(vals=edges, is_left=is_left, is_right=is_right),
+        RaySamples(vals=t, is_valid=sample_valid),
+    )
 
 
 def _sample_from_weighted(

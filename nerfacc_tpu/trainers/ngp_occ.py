@@ -113,6 +113,9 @@ class NGPOccTrainer:
     # frame times into occupancy updates (reference: train_mlp_tnerf.py:128-135)
     time_dependent: bool = False
     timestamps: Any = None  # (n_frames, 1) all frame times, for occ updates
+    # Mip-NeRF 360 distortion regularization weight (0 disables;
+    # reference: nerfacc/losses.py:7-41)
+    distortion_loss_weight: float = 0.0
     adam_eps: float = 1e-15
     warmup_lr_steps: int = 100
     seed: int = 42
@@ -225,11 +228,10 @@ class NGPOccTrainer:
         # Rays truncated by the sample budget render wrong colors; exclude
         # them from the loss (training them toward the background biases the
         # whole field toward the background color).
-        ray_ok = (
+        budget_ok = (
             jnp.arange(rays_o.shape[0], dtype=jnp.int32)
             < samples.first_incomplete_ray
         )[:, None]
-        n_ok = jnp.maximum(jnp.sum(ray_ok), 1)
 
         def loss_fn(params):
             def rgb_sigma_fn(positions, dirs, ray_indices):
@@ -238,21 +240,47 @@ class NGPOccTrainer:
                 )
                 return rgb, density[..., 0]
 
-            colors, _, _, extras = render_rays_with_occgrid(
+            colors, opacities, _, extras = render_rays_with_occgrid(
                 rgb_sigma_fn,
                 rays_o,
                 rays_d,
                 samples,
                 render_bkgd=render_bkgd,
             )
+            # Rays whose window budget ran out mid-scene are also missing
+            # far content — prefer rays that finished or saturated opacity.
+            # But early in training (dense grid, low density) EVERY ray can
+            # be truncated; masking them all would zero the loss and
+            # deadlock, so only apply this mask once a reasonable fraction
+            # of rays completes.
+            window_ok = res.terminated[:, None] | (opacities > 1.0 - 1e-3)
+            frac_ok = jnp.mean(window_ok.astype(jnp.float32))
+            ray_ok = budget_ok & jnp.where(frac_ok > 0.25, window_ok, True)
+            n_ok = jnp.maximum(jnp.sum(ray_ok), 1)
             diff = jnp.abs(colors - pixels) * ray_ok
             loss = jnp.sum(
                 jnp.where(diff < 1.0, 0.5 * diff**2, diff - 0.5)
             ) / (n_ok * 3)
             mse = jnp.sum((diff) ** 2) / (n_ok * 3)
-            return loss, mse
+            if self.distortion_loss_weight > 0:
+                from ..losses import distortion
 
-        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                dist = distortion(
+                    extras["weights"],
+                    samples.t_starts,
+                    samples.t_ends,
+                    samples.ray_indices,
+                    rays_o.shape[0],
+                    masks=samples.valid,
+                )
+                loss = loss + self.distortion_loss_weight * jnp.sum(
+                    dist * ray_ok
+                ) / n_ok
+            return loss, (mse, jnp.sum(ray_ok))
+
+        (loss, (mse, n_rays_ok)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, params
         )
@@ -264,6 +292,7 @@ class NGPOccTrainer:
         aux = {
             "loss": loss,
             "mse": mse,
+            "n_rays_ok": n_rays_ok,
             "n_rendering_samples": samples.num_valid,
             # the batch-size controller must see the TRUE sample demand,
             # including samples dropped past the budget, or it will not

@@ -111,6 +111,38 @@ def test_pdf_loss():
     np.testing.assert_allclose(loss.mean(), loss2.mean(), atol=2e-4)
 
 
+def test_importance_sampling_varying_counts():
+    """Per-ray tensor counts (reference pdf.cu:294-355 overload): must match
+    the batched mode where counts agree, and mask samples past each ray's
+    count."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    intervals = _create_intervals(k1, 4, 32)
+    cdfs = jnp.sort(jax.random.uniform(k2, intervals.vals.shape), axis=-1)
+
+    # equal counts -> identical to the batched overload
+    n = jnp.full((4,), 8, jnp.int32)
+    iv_v, s_v = importance_sampling(intervals, cdfs, n, max_intervals_per_ray=8)
+    iv_b, s_b = importance_sampling(intervals, cdfs, 8)
+    np.testing.assert_allclose(s_v.vals, s_b.vals, atol=1e-5)
+    np.testing.assert_allclose(iv_v.vals, iv_b.vals, atol=1e-5)
+    assert np.asarray(s_v.is_valid).all()
+
+    # unequal counts: per-ray prefix must match a per-ray batched run
+    n = jnp.array([8, 4, 6, 2], jnp.int32)
+    iv_v, s_v = importance_sampling(intervals, cdfs, n, max_intervals_per_ray=8)
+    for r, nr in enumerate([8, 4, 6, 2]):
+        iv_r, s_r = importance_sampling(
+            RayIntervals(vals=intervals.vals[r : r + 1]),
+            cdfs[r : r + 1],
+            nr,
+        )
+        np.testing.assert_allclose(
+            s_v.vals[r, :nr], s_r.vals[0], atol=1e-5
+        )
+        assert np.asarray(s_v.is_valid)[r, :nr].all()
+        assert not np.asarray(s_v.is_valid)[r, nr:].any()
+
+
 def test_importance_sampling_stratified():
     """Stratified sampling stays sorted and within bounds."""
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)

@@ -20,6 +20,10 @@ def main():
     import jax
     import numpy as np
 
+    from nerfacc_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from nerfacc_tpu.data import ProceduralSceneLoader
     from nerfacc_tpu.models.cp_field import CPRadianceField
     from nerfacc_tpu.trainers import NGPOccTrainer

@@ -31,6 +31,10 @@ def main():
 
     import jax
 
+    from nerfacc_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from nerfacc_tpu.models import VanillaNeRFRadianceField
     from nerfacc_tpu.trainers import NGPOccTrainer
     from nerfacc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint

@@ -29,6 +29,10 @@ def main():
 
     import jax
 
+    from nerfacc_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from nerfacc_tpu.data.dnerf_synthetic import SubjectLoader
     from nerfacc_tpu.models import TNeRFRadianceField
     from nerfacc_tpu.trainers import NGPOccTrainer

@@ -61,6 +61,10 @@ def main():
 
     import jax
 
+    from nerfacc_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from nerfacc_tpu.models import NGPRadianceField
     from nerfacc_tpu.models.cp_field import CPRadianceField
     from nerfacc_tpu.trainers import NGPOccTrainer

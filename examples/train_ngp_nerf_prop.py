@@ -31,6 +31,10 @@ def main():
 
     import jax
 
+    from nerfacc_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from nerfacc_tpu.estimators.prop_net import get_proposal_requires_grad_fn
     from nerfacc_tpu.models import NGPDensityField, NGPRadianceField
     from nerfacc_tpu.models.cp_field import CPDensityField, CPRadianceField

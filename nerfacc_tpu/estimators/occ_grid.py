@@ -104,11 +104,13 @@ def _cell_coords(ids: jnp.ndarray, resolution: Tuple[int, int, int]) -> jnp.ndar
 
 
 def _chunked_eval(
-    fn: Callable, x: jnp.ndarray, chunk: int = 2**16
+    fn: Callable, x: jnp.ndarray, chunk: int = 2**18
 ) -> jnp.ndarray:
     """Evaluate ``fn`` over (N, 3) points in sequential chunks via
     ``lax.map`` to bound peak memory (the occupancy warmup touches millions
-    of cells; evaluating them at once OOMs the hash-grid intermediates)."""
+    of cells; evaluating them at once OOMs the hash-grid intermediates).
+    Chunks are large (2^18) — sequential chunks serialize the update, so
+    fewer/larger is faster as long as intermediates fit HBM."""
     n = x.shape[0]
     if n <= chunk:
         return fn(x)

@@ -46,11 +46,15 @@ class CPGridEncoder:
     Attributes:
         resolutions: per-level 1D grid sizes.
         ranks: per-level number of CP components (= output features).
+        use_pallas: evaluate the hat-interp matmul with the fused Pallas
+            kernel (avoids materializing the (N, R) weight matrix; on the
+            current chip XLA's fusion is near-par, so this is optional).
     """
 
     resolutions: Sequence[int] = (32, 128, 512)
     ranks: Sequence[int] = (32, 32, 32)
     compute_dtype: Any = jnp.bfloat16
+    use_pallas: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -85,12 +89,17 @@ class CPGridEncoder:
         ):
             prod = None
             for axis in range(3):
-                w = _hat_weights(x[:, axis], R, self.compute_dtype)
-                a = jnp.dot(
-                    w,
-                    line[axis].astype(self.compute_dtype),
-                    preferred_element_type=jnp.float32,
-                )  # (N, rank)
+                if self.use_pallas:
+                    from ..ops import hat_interp_matmul
+
+                    a = hat_interp_matmul(x[:, axis], line[axis])
+                else:
+                    w = _hat_weights(x[:, axis], R, self.compute_dtype)
+                    a = jnp.dot(
+                        w,
+                        line[axis].astype(self.compute_dtype),
+                        preferred_element_type=jnp.float32,
+                    )  # (N, rank)
                 prod = a if prod is None else prod * a
             feats.append(prod)
         return jnp.concatenate(feats, axis=-1)

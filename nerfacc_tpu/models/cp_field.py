@@ -51,8 +51,8 @@ class CPGridEncoder:
             current chip XLA's fusion is near-par, so this is optional).
     """
 
-    resolutions: Sequence[int] = (64, 256, 1024)
-    ranks: Sequence[int] = (32, 32, 64)
+    resolutions: Sequence[int] = (32, 128, 512)
+    ranks: Sequence[int] = (32, 32, 32)
     compute_dtype: Any = jnp.bfloat16
     use_pallas: bool = False
 
@@ -117,9 +117,11 @@ class CPRadianceField:
     num_dim: int = 3
     use_viewdirs: bool = True
     unbounded: bool = False
-    # defaults: +2.4 dB over (32,128,512)x32 at 5k steps for ~30% step cost
-    resolutions: Sequence[int] = (64, 256, 1024)
-    ranks: Sequence[int] = (32, 32, 64)
+    # (64,256,1024)x(32,32,64) gave +2.4 dB on a small 12-view scene but
+    # regressed ~0.6 dB on the 24-view benchmark scene — capacity/resolution
+    # is scene-dependent; these defaults won on the benchmark config.
+    resolutions: Sequence[int] = (32, 128, 512)
+    ranks: Sequence[int] = (32, 32, 32)
     geo_feat_dim: int = 15
     hidden_dim: int = 64
     compute_dtype: Any = jnp.bfloat16

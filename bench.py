@@ -29,7 +29,7 @@ def main():
     from nerfacc_tpu.trainers import NGPOccTrainer
 
     aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
-    num_rays = 8192
+    num_rays = 2048
     budget = 1 << 18
     steps_per_call = 8
 

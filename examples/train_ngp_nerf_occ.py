@@ -17,6 +17,9 @@ import numpy as np
 NERF_SYNTHETIC_SCENES = [
     "chair", "drums", "ficus", "hotdog", "lego", "materials", "mic", "ship",
 ]
+MIPNERF360_UNBOUNDED_SCENES = [
+    "garden", "bicycle", "bonsai", "counter", "kitchen", "room", "stump",
+]
 
 
 def round_to_bucket(n: int, buckets) -> int:
@@ -69,7 +72,37 @@ def main():
     from nerfacc_tpu.models.cp_field import CPRadianceField
     from nerfacc_tpu.trainers import NGPOccTrainer
 
-    if args.data_root is not None:
+    unbounded = args.scene in MIPNERF360_UNBOUNDED_SCENES
+    # reference configs: train_ngp_nerf_occ.py:32-78
+    if unbounded:
+        trainer_kwargs = dict(
+            grid_nlvl=4,
+            render_step_size=1e-3,
+            cone_angle=0.004,
+            alpha_thre=1e-2,
+            near_plane=0.2,
+        )
+    else:
+        trainer_kwargs = dict(grid_nlvl=1, render_step_size=5e-3)
+
+    if args.data_root is not None and unbounded:
+        from nerfacc_tpu.data.nerf_360_v2 import SubjectLoader as Loader360
+
+        aabb = [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0]
+        train_dataset = Loader360(
+            subject_id=args.scene,
+            root_fp=args.data_root,
+            split="train",
+            num_rays=args.init_batch_size,
+            color_bkgd_aug="random",
+            factor=4,
+            seed=args.seed,
+        )
+        test_dataset = Loader360(
+            subject_id=args.scene, root_fp=args.data_root, split="test", factor=4
+        )
+        weight_decay = 0.0
+    elif args.data_root is not None:
         from nerfacc_tpu.data import SubjectLoader
 
         aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
@@ -97,18 +130,18 @@ def main():
         weight_decay = 1e-6
 
     if args.field == "cp":
-        field = CPRadianceField(aabb=tuple(aabb))
+        field = CPRadianceField(aabb=tuple(aabb), unbounded=unbounded)
     else:
-        field = NGPRadianceField(aabb=tuple(aabb))
+        field = NGPRadianceField(aabb=tuple(aabb), unbounded=unbounded)
     trainer = NGPOccTrainer(
         field=field,
         aabb=aabb,
         max_steps=args.max_steps,
-        render_step_size=5e-3,
         weight_decay=weight_decay,
         sample_budget=args.target_sample_batch_size,
         max_samples_per_ray=1024,
         seed=args.seed,
+        **trainer_kwargs,
     )
     state = trainer.init_state()
 

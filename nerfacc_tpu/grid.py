@@ -305,8 +305,11 @@ def traverse_grids_windowed(
     """Coarse-to-fine traversal: 2-4x fewer random-occupancy rows per ray.
 
     Phase 1 walks the marching orbit at a stride of ``window_size`` against a
-    max-pooled + dilated occupancy grid (conservative: never rejects a window
-    containing a fine-valid sample).  Phase 2 selects each ray's first
+    max-pooled + dilated occupancy grid (conservative for uniform stepping:
+    with ``cone_angle == 0`` a window's half-extent never exceeds the
+    pool+dilation reach at the defaults, so no fine-valid window is rejected;
+    with ``cone_angle > 0`` the window edges are probed too — see phase 1
+    body).  Phase 2 selects each ray's first
     ``n_windows`` surviving windows and evaluates the exact fine lattice only
     inside them.  Both phases stay on the same orbit, so results match
     :func:`traverse_grids_padded` exactly wherever the window budget is not
@@ -372,6 +375,20 @@ def traverse_grids_windowed(
 
     pos_c = rays_o[:, None, :] + Mc[..., None] * rays_d[:, None, :]
     occ_c = _occupancy_lookup(pos_c, level_c, coarse, aabbs)
+    if cone_angle > 0.0:
+        # With geometric step growth a far window's half-extent can exceed
+        # the pool*dilation reach around its midpoint's coarse cell, so the
+        # midpoint probe alone could reject an occupied window; probe the
+        # two window edges as well.  (Still approximate for extreme
+        # cone_angle/window_size products — raise ``dilation`` if the
+        # truncation fraction reported by the trainer climbs.)
+        pos_a = rays_o[:, None, :] + Tc[:, :-1, None] * rays_d[:, None, :]
+        pos_b = rays_o[:, None, :] + Tc[:, 1:, None] * rays_d[:, None, :]
+        occ_c = (
+            occ_c
+            | _occupancy_lookup(pos_a, level_c, coarse, aabbs)
+            | _occupancy_lookup(pos_b, level_c, coarse, aabbs)
+        )
     # windows whose midpoint is outside every segment but that still touch
     # one (segment entry/exit straddlers) are kept unconditionally —
     # conservative; the fine phase re-tests exactly.
@@ -420,16 +437,27 @@ def traverse_grids_windowed(
     k_natural = _orbit_index(near_planes, t_hi_last, step_size, cone_angle)
     n_valid_windows = jnp.sum(window_valid.astype(jnp.int32), axis=-1)
     truncated = n_valid_windows > W
+    # Valid grid segments extending past the coarse sweep's extent were never
+    # examined: the ray is NOT terminated and must resume at the sweep end
+    # (otherwise far-scene samples are silently dropped with no resume
+    # signal, and trainer completion masks count those rays as done).
+    sweep_exhausted = t_hi_last > Tc[:, -1]
     # first unprocessed valid window (defined when truncated)
     j_next = jnp.where(truncated, j0[:, 0] + keys_sorted[:, W % Kc], 0)
-    k_stop = jnp.where(truncated, j_next * f, k_natural)
+    k_stop = jnp.where(
+        truncated,
+        j_next * f,
+        jnp.where(sweep_exhausted, (j0[:, 0] + Kc) * f, k_natural),
+    )
     termination_planes = _orbit_t(
         near_planes, k_stop[:, None], step_size, cone_angle
     )[:, 0]
     termination_planes = jnp.where(
         has_any_segment, termination_planes, near_planes
     )
-    terminated = jnp.where(has_any_segment, ~truncated, True)
+    terminated = jnp.where(
+        has_any_segment, ~(truncated | sweep_exhausted), True
+    )
     if rays_mask is not None:
         termination_planes = jnp.where(rays_mask, termination_planes, near_planes)
         terminated = jnp.where(rays_mask, terminated, True)
@@ -582,7 +610,9 @@ def traverse_grids(
 
     (reference: nerfacc/grid.py:93-192)
     """
-    limit = traverse_steps_limit if over_allocate else None
+    # The reference enforces the per-ray step cap in BOTH modes
+    # (grid.cu:184,208): apply it whenever the caller passes one.
+    limit = traverse_steps_limit
     res = traverse_grids_padded(
         rays_o,
         rays_d,

@@ -121,6 +121,9 @@ class NGPOccTrainer:
     adam_eps: float = 1e-15
     warmup_lr_steps: int = 100
     seed: int = 42
+    # stratified near-plane jitter (reference: occ_grid.py:162-163); off is
+    # only useful for deterministic tests (e.g. DP-vs-single equivalence)
+    stratified: bool = True
 
     def __post_init__(self):
         self.schedule = make_lr_schedule(
@@ -159,7 +162,34 @@ class NGPOccTrainer:
 
     # -- one fused step ----------------------------------------------------
     def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple:
+        return self._step_body(state, batch, axis_name=None)
+
+    def _step_body(
+        self, state: TrainState, batch: Dict, axis_name: Optional[str] = None
+    ) -> Tuple:
+        """The full fused train step.
+
+        With ``axis_name`` set, this same body runs per-device inside a
+        ``shard_map`` over a ray-sharded mesh (see ``parallel.mesh``):
+        sampling/compaction/field stay local to the shard, the loss is
+        normalized by the *global* completed-ray count, and gradients are
+        psum-ed over the mesh — so multi-chip training follows exactly the
+        single-chip code path (windowed traversal, truncation masking,
+        time-dependence, distortion loss included).
+        """
+        _psum = (
+            (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
+        )
+        _pmean = (
+            (lambda x: jax.lax.pmean(x, axis_name)) if axis_name else (lambda x: x)
+        )
         key, k_occ, k_strat, k_time = jax.random.split(state.key, 4)
+        if axis_name is not None:
+            # decorrelate the per-shard stratified jitter; k_occ stays
+            # replicated so the occupancy update is identical on every device
+            k_strat = jax.random.fold_in(
+                k_strat, jax.lax.axis_index(axis_name)
+            )
         params = state.params
 
         # Occupancy-grid EMA update every `update_interval` steps
@@ -214,7 +244,7 @@ class NGPOccTrainer:
             render_step_size=self.render_step_size,
             alpha_thre=self.alpha_thre,
             early_stop_eps=self.early_stop_eps,
-            stratified=True,
+            stratified=self.stratified,
             cone_angle=self.cone_angle,
             key=k_strat,
             max_samples=self.max_samples_per_ray,
@@ -256,9 +286,11 @@ class NGPOccTrainer:
             # deadlock, so only apply this mask once a reasonable fraction
             # of rays completes.
             window_ok = res.terminated[:, None] | (opacities > 1.0 - 1e-3)
-            frac_ok = jnp.mean(window_ok.astype(jnp.float32))
+            frac_ok = _pmean(jnp.mean(window_ok.astype(jnp.float32)))
             ray_ok = budget_ok & jnp.where(frac_ok > 0.25, window_ok, True)
-            n_ok = jnp.maximum(jnp.sum(ray_ok), 1)
+            # Normalize by the GLOBAL completed-ray count so the per-shard
+            # loss sums to the exact single-chip loss under DP.
+            n_ok = jnp.maximum(_psum(jnp.sum(ray_ok)), 1)
             diff = jnp.abs(colors - pixels) * ray_ok
             loss = jnp.sum(
                 jnp.where(diff < 1.0, 0.5 * diff**2, diff - 0.5)
@@ -283,6 +315,11 @@ class NGPOccTrainer:
         (loss, (mse, n_rays_ok)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        # DP all-reduce (identity single-chip): losses/grads are per-shard
+        # partial sums of the globally-normalized objective.
+        grads = _psum(grads)
+        loss = _psum(loss)
+        mse = _psum(mse)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, params
         )
@@ -291,16 +328,23 @@ class NGPOccTrainer:
         new_state = TrainState(
             params, opt_state, occ_state, key, state.step + 1
         )
+        n_truncated = jnp.sum(~res.terminated)
         aux = {
             "loss": loss,
             "mse": mse,
-            "n_rays_ok": n_rays_ok,
-            "n_rendering_samples": samples.num_valid,
+            "n_rays_ok": _psum(n_rays_ok),
+            "n_rendering_samples": _psum(samples.num_valid),
             # the batch-size controller must see the TRUE sample demand,
             # including samples dropped past the budget, or it will not
             # shrink the ray batch when overflowing
-            "n_total_samples": samples.num_valid + samples.overflow,
-            "overflow": samples.overflow,
+            "n_total_samples": _psum(samples.num_valid + samples.overflow),
+            "overflow": _psum(samples.overflow),
+            # windowed-traversal cliff guard: the fraction of rays whose
+            # window budget ran out mid-scene.  Persistently high values mean
+            # n_windows is too small for the scene and quality silently
+            # collapses (W=28 -> PSNR 10 on the bench scene) — train loops
+            # should warn/adapt on this signal (see examples/).
+            "n_rays_truncated": _psum(n_truncated),
         }
         return new_state, aux
 

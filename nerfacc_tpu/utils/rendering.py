@@ -25,7 +25,10 @@ class CompactSamples(NamedTuple):
     """Fixed-budget flat sample buffer.
 
     Attributes:
-        ray_indices: (budget,) int32 ray id per slot (0 for empty slots).
+        ray_indices: (budget,) int32 ray id per slot. Empty trailing slots
+            hold ``n_rays`` (one past the last ray) so the buffer stays
+            nondecreasing — required by ``indices_sorted=True`` consumers —
+            and out-of-range ids are dropped by every segment reduction.
         t_starts / t_ends: (budget,) sample bounds (0 for empty slots).
         valid: (budget,) slot holds a real sample.
         num_valid: () total real samples (<= budget; samples past the budget
@@ -65,6 +68,10 @@ def compact_samples(res: TraversalResult, budget: int) -> CompactSamples:
     keys = jnp.where(flat_valid, iota, iota + n)
     _, order = jax.lax.sort_key_val(keys, iota)
     sel = order[:budget]  # first `budget` valid candidates, in order
+    if budget > n:  # small shards can have fewer candidates than the budget
+        sel = jnp.concatenate(
+            [sel, jnp.zeros((budget - n,), jnp.int32)]
+        )
 
     payload = jnp.stack(
         [res.t_starts.reshape(-1), res.t_ends.reshape(-1)], axis=-1
@@ -73,7 +80,11 @@ def compact_samples(res: TraversalResult, budget: int) -> CompactSamples:
     total = jnp.sum(flat_valid.astype(jnp.int32))
     num_valid = jnp.minimum(total, budget)
     valid = jnp.arange(budget, dtype=jnp.int32) < num_valid
-    out_ray = jnp.where(valid, sel // K, 0).astype(jnp.int32)
+    # Invalid slots get ray id n_rays (NOT 0): compaction preserves order, so
+    # only a fill value >= every real id keeps the buffer sorted — a 0 fill
+    # breaks the searchsorted segment ends in _sorted_segment_sum and
+    # corrupts per-ray sums whenever the buffer is partially filled.
+    out_ray = jnp.where(valid, sel // K, n_rays).astype(jnp.int32)
     out_t0 = jnp.where(valid, rows[:, 0], 0.0)
     out_t1 = jnp.where(valid, rows[:, 1], 0.0)
     overflow = total - num_valid
@@ -111,11 +122,16 @@ def render_rays_with_occgrid(
     """
     n_rays = rays_o.shape[0]
     t_mid = 0.5 * (samples.t_starts + samples.t_ends)
-    o = jnp.take(rays_o, samples.ray_indices, axis=0)
-    d = jnp.take(rays_d, samples.ray_indices, axis=0)
+    # Empty slots hold ray id n_rays (see CompactSamples): clamp for gathers
+    # (jnp.take's default 'fill' mode would inject NaNs that poison the
+    # backward via 0*NaN) but keep the raw ids for segment reductions, where
+    # out-of-range ids drop the empty slots as intended.
+    gather_ids = jnp.minimum(samples.ray_indices, n_rays - 1)
+    o = jnp.take(rays_o, gather_ids, axis=0)
+    d = jnp.take(rays_d, gather_ids, axis=0)
     positions = o + t_mid[:, None] * d
 
-    rgbs, sigmas = rgb_sigma_fn(positions, d, samples.ray_indices)
+    rgbs, sigmas = rgb_sigma_fn(positions, d, gather_ids)
 
     weights, trans, alphas = render_weight_from_density(
         samples.t_starts,

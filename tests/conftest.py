@@ -6,7 +6,10 @@ while still exercising the multi-device sharding paths via
 ``xla_force_host_platform_device_count``.
 
 NOTE: the environment may preset ``JAX_PLATFORMS`` to a remote-compile
-accelerator backend; tests must override (not setdefault) it, or every test
+accelerator backend AND register that backend from a ``sitecustomize`` hook
+at interpreter boot (before pytest imports this file).  Assigning the env var
+here is therefore NOT enough — ``jax.config.update("jax_platforms", "cpu")``
+after import is what actually forces the CPU platform; otherwise every test
 compile round-trips through the remote service and queues behind training
 jobs.
 """
@@ -19,3 +22,7 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

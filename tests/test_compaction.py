@@ -60,3 +60,40 @@ def test_compact_empty():
     assert int(s.num_valid) == 0
     assert not np.asarray(s.valid).any()
     assert int(s.first_incomplete_ray) == 2
+
+
+def test_compact_invalid_slots_keep_ids_sorted():
+    """Empty trailing slots must hold n_rays (not 0), or the sorted-segment
+    reduction used by the training render path corrupts per-ray sums."""
+    valid = np.zeros((3, 4), bool)
+    valid[1, 0] = valid[2, 1] = True
+    s = compact_samples(_mk_result(valid), budget=8)
+    ids = np.asarray(s.ray_indices)
+    assert (np.diff(ids) >= 0).all(), ids
+    assert (ids[int(s.num_valid):] == 3).all()
+
+
+def test_sorted_accumulate_matches_segment_sum_partial_fill():
+    """indices_sorted=True on a partially-filled compacted buffer must match
+    the plain scatter segment_sum (regression: 0-filled trailing ids made
+    searchsorted land in a bogus leading segment)."""
+    from nerfacc_tpu.volrend import accumulate_along_rays
+
+    rng = np.random.default_rng(0)
+    n_rays, K = 16, 8
+    valid = rng.random((n_rays, K)) < 0.4  # ~50% buffer fill at budget 64
+    res = _mk_result(valid)
+    s = compact_samples(res, budget=64)
+    weights = jnp.where(
+        s.valid, jnp.asarray(rng.random(64), jnp.float32), 0.0
+    )
+    values = jnp.asarray(rng.random((64, 3)), jnp.float32)
+    fast = accumulate_along_rays(
+        weights, values, s.ray_indices, n_rays, indices_sorted=True
+    )
+    ref = jax.ops.segment_sum(
+        weights[:, None] * values,
+        jnp.minimum(s.ray_indices, n_rays),  # out-of-range ids drop
+        num_segments=n_rays + 1,
+    )[:n_rays]
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)

@@ -187,6 +187,88 @@ def test_traverse_grids_windowed_matches_padded():
         assert sp == sw, (rr, len(sp), len(sw))
 
 
+def test_traverse_grids_windowed_sweep_exhaustion_resumes():
+    """If valid segments extend past the coarse sweep extent, the ray must
+    report terminated=False with a termination plane at the sweep end, so an
+    iterative caller can resume and recover every padded-traverser sample."""
+    from nerfacc_tpu.grid import traverse_grids_windowed
+
+    key = jax.random.PRNGKey(3)
+    n_rays = 16
+    rays_o, rays_d = _random_rays(key, n_rays, origin_scale=0.2)
+    rays_o = rays_o + jnp.array([2.0, 0.0, 0.0])
+
+    g = jnp.stack(
+        jnp.meshgrid(*[jnp.linspace(-1.4, 1.4, 32)] * 3, indexing="ij"), -1
+    )
+    r = jnp.linalg.norm(g, axis=-1)
+    binaries = ((r > 0.6) & (r < 1.0))[None]
+    aabbs = jnp.array([[-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]])
+    step = 0.02
+
+    rp = traverse_grids_padded(
+        rays_o, rays_d, binaries, aabbs, step_size=step, max_samples=512
+    )
+    vp = np.asarray(rp.valid)
+
+    # max_coarse=8 windows of 8 steps: the sweep spans only ~1.28 units of a
+    # ~3-unit-deep scene, so every hitting ray exhausts the sweep.
+    near = None
+    alive = jnp.ones((n_rays,), bool)
+    got = [set() for _ in range(n_rays)]
+    for _ in range(30):
+        rw = traverse_grids_windowed(
+            rays_o,
+            rays_d,
+            binaries,
+            aabbs,
+            near_planes=near,
+            step_size=step,
+            n_windows=8,
+            window_size=8,
+            max_coarse=8,
+            pool=4,
+            dilation=1,
+            rays_mask=alive,
+        )
+        vw = np.asarray(rw.valid)
+        tw0 = np.asarray(rw.t_starts)
+        for rr in np.nonzero(np.asarray(alive))[0]:
+            got[rr].update(np.round(tw0[rr][vw[rr]], 5).tolist())
+        near = rw.termination_planes
+        alive = alive & ~rw.terminated
+        if not bool(alive.any()):
+            break
+    assert not bool(alive.any())
+    tp0 = np.asarray(rp.t_starts)
+    for rr in range(n_rays):
+        want = set(np.round(tp0[rr][vp[rr]], 5).tolist())
+        assert want == got[rr], (rr, len(want), len(got[rr]))
+
+
+def test_traverse_steps_limit_without_over_allocate():
+    """traverse_steps_limit must cap emitted samples per ray in BOTH modes
+    (reference grid.cu:184,208), not only when over_allocate=True."""
+    from nerfacc_tpu.grid import traverse_grids
+
+    key = jax.random.PRNGKey(7)
+    rays_o, rays_d = _random_rays(key, 8)
+    binaries = jnp.ones((1, 8, 8, 8), bool)
+    aabbs = jnp.array([[-1.0, -1.0, -1.0, 1.0, 1.0, 1.0]])
+    _, samples, _ = traverse_grids(
+        rays_o,
+        rays_d,
+        binaries,
+        aabbs,
+        step_size=0.05,
+        traverse_steps_limit=5,
+        over_allocate=False,
+        max_samples=128,
+    )
+    per_ray = np.asarray(samples.is_valid).sum(-1)
+    assert (per_ray <= 5).all(), per_ray
+
+
 def test_traverse_grids_with_near_far_planes():
     """(reference tests/test_grid.py:134-159)"""
     rays_o = jnp.array([[-1.0, 0.0, 0.0]])

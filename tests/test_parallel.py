@@ -1,0 +1,113 @@
+"""Data-parallel layer tests on the 8-virtual-device CPU mesh.
+
+The reference has no distributed layer at all (SURVEY.md §2.12); this is the
+repo's own bar: the DP step must (a) run on a real multi-device mesh and
+(b) produce the same update as the single-chip step on the same global batch,
+because it runs the *same* trainer body (``NGPOccTrainer._step_body``) per
+shard with a globally-normalized loss and psum-ed gradients.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfacc_tpu.models.cp_field import CPRadianceField
+from nerfacc_tpu.parallel import make_dp_train_step, make_mesh, shard_batch
+from nerfacc_tpu.trainers import NGPOccTrainer
+
+
+def _make_trainer(**kw):
+    aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
+    field = CPRadianceField(
+        aabb=tuple(aabb), resolutions=(16, 64), ranks=(8, 8)
+    )
+    kw.setdefault("grid_resolution", 16)
+    kw.setdefault("render_step_size", 2e-2)
+    kw.setdefault("sample_budget", 4096)
+    kw.setdefault("max_samples_per_ray", 256)
+    kw.setdefault("warmup_steps", 4)
+    kw.setdefault("update_interval", 2)
+    return NGPOccTrainer(field=field, aabb=aabb, **kw)
+
+
+def _make_batch(n_rays):
+    key = jax.random.PRNGKey(0)
+    rays_o = jax.random.normal(key, (n_rays, 3)) * 0.1 + jnp.array(
+        [3.0, 0.0, 0.0]
+    )
+    rays_d = -rays_o / jnp.linalg.norm(rays_o, axis=-1, keepdims=True)
+    rgb = jax.random.uniform(jax.random.PRNGKey(1), (n_rays, 3))
+    return {
+        "rays_o": rays_o,
+        "rays_d": rays_d,
+        "rgb": rgb,
+        "color_bkgd": jnp.ones((3,)),
+    }
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force an 8-device mesh"
+    return make_mesh(8)
+
+
+def test_dp_step_runs(mesh8):
+    trainer = _make_trainer()
+    state = trainer.init_state()
+    step_fn = make_dp_train_step(trainer, mesh8)
+    batch = shard_batch(_make_batch(8 * 16), mesh8)
+    state, aux = step_fn(state, batch)
+    state, aux = step_fn(state, batch)  # second step: occ update branch
+    assert np.isfinite(float(aux["loss"]))
+    assert int(aux["n_rendering_samples"]) > 0
+    assert int(state.step) == 2
+
+
+def test_dp_matches_single_device(mesh8):
+    """1-device vs 8-device step: same global batch -> same loss and params
+    (stratified jitter off so sampling is deterministic; budget large enough
+    that neither the global nor the per-shard compaction truncates — the
+    trainer's sample_budget is per-device under DP)."""
+    batch = _make_batch(64)
+
+    t_single = _make_trainer(stratified=False, sample_budget=16384)
+    s_single = t_single.init_state()
+    s_single, aux_single = t_single.train_step(s_single, batch)
+
+    t_dp = _make_trainer(stratified=False, sample_budget=16384)
+    s_dp = t_dp.init_state()
+    step_fn = make_dp_train_step(t_dp, mesh8)
+    s_dp, aux_dp = step_fn(s_dp, shard_batch(dict(batch), mesh8))
+
+    np.testing.assert_allclose(
+        float(aux_dp["loss"]), float(aux_single["loss"]), rtol=1e-5
+    )
+    assert int(aux_dp["n_rendering_samples"]) == int(
+        aux_single["n_rendering_samples"]
+    )
+    assert int(aux_dp["n_rays_ok"]) == int(aux_single["n_rays_ok"])
+
+    flat_s, _ = jax.tree_util.tree_flatten(s_single.params)
+    flat_d, _ = jax.tree_util.tree_flatten(s_dp.params)
+    for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        )
+    # occupancy grids updated identically (replicated key)
+    np.testing.assert_array_equal(
+        np.asarray(s_single.occ_state.binaries),
+        np.asarray(s_dp.occ_state.binaries),
+    )
+
+
+def test_dp_multi_step_trains(mesh8):
+    """A few DP steps must reduce the loss on a fittable constant target."""
+    trainer = _make_trainer(stratified=False)
+    state = trainer.init_state()
+    step_fn = make_dp_train_step(trainer, mesh8)
+    batch = shard_batch(_make_batch(8 * 8), mesh8)
+    losses = []
+    for _ in range(6):
+        state, aux = step_fn(state, batch)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0], losses

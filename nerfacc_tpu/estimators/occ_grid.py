@@ -22,8 +22,10 @@ import numpy as np
 
 from ..grid import (
     TraversalResult,
+    WindowSamples,
     _enlarge_aabb,
     traverse_grids_padded,
+    traverse_grids_pooled,
     traverse_grids_windowed,
 )
 from ..volrend import (
@@ -208,20 +210,30 @@ def update_occ_grid(
         )
         bin_flat = state.binaries.reshape(levels, cells)
         # Uniform sample of occupied cells without replacement via one key
-        # sort: occupied cells get keys in [0,1), empty cells in [1,2), so
-        # the first n sorted ids are a uniform occupied subset.  (The
+        # sort: occupied cells get random keys below every empty cell's key,
+        # so the first n sorted ids are a uniform occupied subset.  (The
         # reference uses nonzero()+randint, occ_grid.py:356-361 — dynamic
         # shapes; a categorical over 2M cells is quadratic on TPU.)
-        sort_keys = jax.random.uniform(k_occ, (levels, cells)) + jnp.where(
-            bin_flat, 0.0, 1.0
+        # Keys are bit-packed int32 (empty flag in bit 30, 24 random bits)
+        # and sorted flat 1-D: a 2-D f32 sort of (levels, 2M) measured 25 ms
+        # on-chip vs ~4 ms for the flat int32 sort.
+        rbits = jax.random.bits(k_occ, (levels * cells,)).astype(jnp.uint32)
+        keys = ((rbits >> 8) | jnp.where(bin_flat.reshape(-1), 0, 1 << 30)).astype(
+            jnp.int32
         )
-        _, occupied_ids = jax.lax.sort_key_val(
-            sort_keys,
-            jnp.broadcast_to(
-                jnp.arange(cells, dtype=jnp.int32)[None, :], (levels, cells)
-            ),
+        cell_iota = jnp.broadcast_to(
+            jnp.arange(cells, dtype=jnp.int32)[None, :], (levels, cells)
         )
-        occupied_ids = occupied_ids[:, :n]
+        if levels == 1:
+            _, occupied_flat = jax.lax.sort_key_val(
+                keys, cell_iota.reshape(-1)
+            )
+            occupied_ids = occupied_flat[None, :n]
+        else:
+            _, occupied_ids = jax.lax.sort_key_val(
+                keys.reshape(levels, cells), cell_iota
+            )
+            occupied_ids = occupied_ids[:, :n]
 
         cell_ids = jnp.concatenate([uniform_ids, occupied_ids], axis=-1)
         occ = _eval_cells(state, cell_ids, k_eval, occ_eval_fn)
@@ -354,6 +366,58 @@ def sampling_padded(
 
     return TraversalResult(
         res.t_starts, res.t_ends, valid, res.termination_planes, res.terminated
+    )
+
+
+def sampling_pooled(
+    state: OccGridState,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near_plane: float = 0.0,
+    far_plane: float = 1e10,
+    t_min: Optional[jnp.ndarray] = None,
+    t_max: Optional[jnp.ndarray] = None,
+    render_step_size: float = 1e-3,
+    stratified: bool = False,
+    cone_angle: float = 0.0,
+    key: Optional[jax.Array] = None,
+    window_budget: int = 1 << 16,
+    window_size: int = 8,
+    max_coarse: int = 160,
+) -> WindowSamples:
+    """Sampling with spatial skipping via the GLOBAL window pool — the
+    train-path fast traversal (see :func:`~nerfacc_tpu.grid.
+    traverse_grids_pooled`).  Pure and jittable; feed the result to
+    ``compact_samples_from_windows``.
+
+    (reference: occ_grid.py:85-221 semantics, without the optional
+    sigma/alpha visibility filtering — training uses the budget-compacted
+    render path where empty samples already composite to zero weight.)
+    """
+    n_rays = rays_o.shape[0]
+    near_planes = jnp.full((n_rays,), near_plane, rays_o.dtype)
+    far_planes = jnp.full((n_rays,), far_plane, rays_o.dtype)
+    if t_min is not None:
+        near_planes = jnp.maximum(near_planes, t_min)
+    if t_max is not None:
+        far_planes = jnp.minimum(far_planes, t_max)
+    if stratified:
+        assert key is not None, "stratified sampling requires a PRNG key"
+        near_planes = near_planes + (
+            jax.random.uniform(key, (n_rays,), rays_o.dtype) * render_step_size
+        )
+    return traverse_grids_pooled(
+        rays_o,
+        rays_d,
+        state.binaries,
+        state.aabbs,
+        near_planes,
+        far_planes,
+        step_size=render_step_size,
+        cone_angle=cone_angle,
+        window_budget=window_budget,
+        window_size=window_size,
+        max_coarse=max_coarse,
     )
 
 

@@ -274,6 +274,293 @@ def pool_binaries(binaries: jnp.ndarray, pool: int, dilation: int = 1) -> jnp.nd
     return x
 
 
+def _coarse_window_phase(
+    rays_o,
+    rays_d,
+    binaries,
+    aabbs,
+    near_planes,
+    far_planes,
+    step_size,
+    cone_angle,
+    Kc,
+    f,
+    pool,
+    dilation,
+    rays_mask,
+):
+    """Phase 1 of the coarse-to-fine traversals: march the orbit at a stride
+    of ``f`` steps against a max-pooled + dilated occupancy grid and flag the
+    windows that may contain fine-valid samples (conservative).
+
+    Returns ``(window_valid (n, Kc), j0 (n, 1), Tc (n, Kc+1), seg_lo, seg_hi,
+    seg_level, seg_valid)``.
+    """
+    n_rays = rays_o.shape[0]
+    t_mins, t_maxs, hits = ray_aabb_intersect(rays_o, rays_d, aabbs)
+    t_cat = jnp.concatenate([t_mins, t_maxs], axis=-1)
+    t_indices = jnp.argsort(t_cat, axis=-1, stable=True)
+    t_sorted = jnp.take_along_axis(t_cat, t_indices, axis=-1)
+    seg_lo, seg_hi, seg_level, seg_valid = _grid_segments(
+        t_sorted, t_indices, hits, near_planes, far_planes
+    )
+    n_segments = seg_lo.shape[-1]
+
+    coarse = pool_binaries(binaries, pool, dilation)
+    # Start each ray's window sweep at its first grid-segment entry (rounded
+    # down to a window boundary so everything stays on the orbit) — rays
+    # from outside the grids would otherwise burn ~25% of their coarse
+    # candidates on empty space before the first AABB.
+    t_entry = jnp.min(jnp.where(seg_valid, seg_lo, jnp.inf), axis=-1)
+    k_entry = _orbit_index(near_planes, t_entry, step_size, cone_angle)
+    k_entry = jnp.where(jnp.isfinite(t_entry), (k_entry // f) * f, 0)
+    j0 = (k_entry // f)[:, None]  # first window index per ray
+
+    Tc = _orbit_t(
+        near_planes,
+        (j0 + jnp.arange(Kc + 1, dtype=jnp.int32)[None, :]) * f,
+        step_size, cone_angle,
+    )  # (n, Kc+1)
+    Mc = 0.5 * (Tc[:, :-1] + Tc[:, 1:])
+
+    intersects = jnp.zeros((n_rays, Kc), dtype=bool)
+    mid_inside = jnp.zeros((n_rays, Kc), dtype=bool)
+    level_c = jnp.zeros((n_rays, Kc), dtype=jnp.int32)
+    for j in range(n_segments):
+        lo = seg_lo[:, j : j + 1]
+        hi = seg_hi[:, j : j + 1]
+        sv = seg_valid[:, j : j + 1]
+        inter_j = sv & (lo < Tc[:, 1:]) & (hi > Tc[:, :-1])
+        mid_j = sv & (Mc >= lo) & (Mc < hi)
+        intersects = intersects | inter_j
+        mid_inside = mid_inside | mid_j
+        level_c = jnp.where(
+            mid_j | (inter_j & ~mid_inside), seg_level[:, j : j + 1], level_c
+        )
+
+    pos_c = rays_o[:, None, :] + Mc[..., None] * rays_d[:, None, :]
+    occ_c = _occupancy_lookup(pos_c, level_c, coarse, aabbs)
+    if cone_angle > 0.0:
+        # With geometric step growth a far window's half-extent can exceed
+        # the pool*dilation reach around its midpoint's coarse cell, so the
+        # midpoint probe alone could reject an occupied window; probe the
+        # two window edges as well.  (Still approximate for extreme
+        # cone_angle/window_size products — raise ``dilation`` if the
+        # truncation fraction reported by the trainer climbs.)
+        pos_a = rays_o[:, None, :] + Tc[:, :-1, None] * rays_d[:, None, :]
+        pos_b = rays_o[:, None, :] + Tc[:, 1:, None] * rays_d[:, None, :]
+        occ_c = (
+            occ_c
+            | _occupancy_lookup(pos_a, level_c, coarse, aabbs)
+            | _occupancy_lookup(pos_b, level_c, coarse, aabbs)
+        )
+    # windows whose midpoint is outside every segment but that still touch
+    # one (segment entry/exit straddlers) are kept unconditionally —
+    # conservative; the fine phase re-tests exactly.
+    window_valid = intersects & (occ_c | ~mid_inside)
+    if rays_mask is not None:
+        window_valid = window_valid & rays_mask[:, None]
+    return window_valid, j0, Tc, seg_lo, seg_hi, seg_level, seg_valid
+
+
+class WindowSamples(NamedTuple):
+    """Flat window-pooled traversal output (static shapes).
+
+    The valid coarse windows of ALL rays are compacted into one flat pool of
+    ``window_budget`` windows (order-preserving by (ray, window)), and only
+    the pool is fine-tested.  Rays share the pool, so there is no per-ray
+    window cap and no per-ray quality cliff; pool exhaustion truncates a ray
+    SUFFIX exactly like the sample budget does.
+
+    Attributes:
+        t_starts / t_ends: (window_budget, window_size) candidate bounds.
+        valid: same shape; candidate emitted.
+        ray_ids: (window_budget,) ray of each window (n_rays for empty
+            slots; nondecreasing).
+        counts: (n_rays,) valid samples per ray within the pool.
+        termination_planes / terminated: (n_rays,) — reference
+            ``traverse_grids`` resume semantics (grid.cu:274-275).
+        window_overflow: () number of valid windows dropped by the pool.
+    """
+
+    t_starts: jnp.ndarray
+    t_ends: jnp.ndarray
+    valid: jnp.ndarray
+    ray_ids: jnp.ndarray
+    counts: jnp.ndarray
+    termination_planes: jnp.ndarray
+    terminated: jnp.ndarray
+    window_overflow: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "step_size",
+        "cone_angle",
+        "window_budget",
+        "window_size",
+        "max_coarse",
+        "pool",
+        "dilation",
+    ),
+)
+def traverse_grids_pooled(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    binaries: jnp.ndarray,
+    aabbs: jnp.ndarray,
+    near_planes: Optional[jnp.ndarray] = None,
+    far_planes: Optional[jnp.ndarray] = None,
+    step_size: float = 1e-3,
+    cone_angle: float = 0.0,
+    window_budget: int = 1 << 16,
+    window_size: int = 8,
+    max_coarse: int = 160,
+    pool: int = 4,
+    dilation: int = 1,
+    rays_mask: Optional[jnp.ndarray] = None,
+) -> WindowSamples:
+    """Coarse-to-fine traversal with a GLOBAL window pool.
+
+    Same two-phase scheme as :func:`traverse_grids_windowed` but the fine
+    phase runs on the batch-wide pool of surviving windows instead of a fixed
+    per-ray count: the fine occupancy gather (the most expensive op of the
+    train step, ~8 ns/row on TPU) only touches windows that can hold samples,
+    and dense rays borrow pool capacity from sparse ones.
+
+    Returns a :class:`WindowSamples` (flat layout, ready for
+    ``compact_samples_from_windows``).
+    """
+    n_rays = rays_o.shape[0]
+    dtype = rays_o.dtype
+    f = window_size
+    Kc = max_coarse
+    Wb = window_budget
+    assert Wb <= n_rays * Kc, "window_budget exceeds the candidate count"
+    if near_planes is None:
+        near_planes = jnp.zeros((n_rays,), dtype)
+    if far_planes is None:
+        far_planes = jnp.full((n_rays,), jnp.inf, dtype)
+
+    (window_valid, j0, Tc, seg_lo, seg_hi, seg_level, seg_valid) = (
+        _coarse_window_phase(
+            rays_o, rays_d, binaries, aabbs, near_planes, far_planes,
+            step_size, cone_angle, Kc, f, pool, dilation, rays_mask,
+        )
+    )
+    n_segments = seg_lo.shape[-1]
+    j0r = j0[:, 0]
+
+    # ---- window compaction (order-preserving sort trick) -----------------
+    nw = n_rays * Kc
+    wv_flat = window_valid.reshape(-1)
+    iota = jnp.arange(nw, dtype=jnp.int32)
+    keys = jnp.where(wv_flat, iota, iota + nw)
+    _, order = jax.lax.sort_key_val(keys, iota)
+    wsel = order[:Wb]
+    counts_w = jnp.sum(window_valid.astype(jnp.int32), axis=-1)  # (n,)
+    total_w = jnp.sum(counts_w)
+    w_in = jnp.arange(Wb, dtype=jnp.int32) < jnp.minimum(total_w, Wb)
+    wray_raw = wsel // Kc
+    wray = jnp.where(w_in, wray_raw, n_rays).astype(jnp.int32)
+    wray_c = jnp.minimum(wray, n_rays - 1)
+    wj = wsel % Kc
+
+    # ---- fine phase on the pool ------------------------------------------
+    # ONE fused per-window row gather for every per-ray quantity: separate
+    # takes cost ~0.5 ms each on this backend regardless of width, so pack
+    # [j0, near, o(3), d(3), per-segment lo/hi/level/valid] into one payload.
+    pay = jnp.concatenate(
+        [
+            j0r.astype(dtype)[:, None],
+            near_planes[:, None],
+            rays_o,
+            rays_d,
+            seg_lo,
+            seg_hi,
+            seg_level.astype(dtype),
+            seg_valid.astype(dtype),
+        ],
+        axis=-1,
+    )  # (n_rays, 8 + 4 * n_segments)
+    prow = jnp.take(pay, wray_c, axis=0)  # (Wb, C)
+    j0_w = prow[:, 0].astype(jnp.int32)
+    near_w = prow[:, 1]
+    o_w = prow[:, 2:5]
+    d_w = prow[:, 5:8]
+    slo_w = prow[:, 8 : 8 + n_segments]
+    shi_w = prow[:, 8 + n_segments : 8 + 2 * n_segments]
+    slev_w = prow[:, 8 + 2 * n_segments : 8 + 3 * n_segments].astype(jnp.int32)
+    sval_w = prow[:, 8 + 3 * n_segments :] > 0.5
+
+    wk = (j0_w + wj) * f  # (Wb,) first orbit index
+    k_fine = wk[:, None] + jnp.arange(f, dtype=jnp.int32)[None, :]
+    t0 = _orbit_t(near_w, k_fine, step_size, cone_angle)
+    t1 = _orbit_t(near_w, k_fine + 1, step_size, cone_angle)
+    t_mids = 0.5 * (t0 + t1)
+
+    inside_any = jnp.zeros(t_mids.shape, dtype=bool)
+    level = jnp.zeros(t_mids.shape, dtype=jnp.int32)
+    for j in range(n_segments):
+        inside_j = (
+            sval_w[:, j : j + 1]
+            & (t_mids >= slo_w[:, j : j + 1])
+            & (t_mids < shi_w[:, j : j + 1])
+        )
+        inside_any = inside_any | inside_j
+        level = jnp.where(inside_j, slev_w[:, j : j + 1], level)
+
+    pos = o_w[:, None, :] + t_mids[..., None] * d_w[:, None, :]
+    occupied = _occupancy_lookup(pos, level, binaries, aabbs)
+    valid = inside_any & occupied & w_in[:, None]
+
+    # ---- per-ray sample counts within the pool ----------------------------
+    wcnt = jnp.sum(valid.astype(jnp.int32), axis=-1)  # (Wb,)
+    C0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(wcnt)]
+    )  # (Wb+1,)
+    cum_w = jnp.cumsum(counts_w)
+    ends_w = jnp.clip(cum_w, 0, Wb)
+    starts_w = jnp.clip(cum_w - counts_w, 0, Wb)
+    counts = jnp.take(C0, ends_w) - jnp.take(C0, starts_w)  # (n_rays,)
+
+    # ---- termination -------------------------------------------------------
+    t_hi_last = jnp.max(jnp.where(seg_valid, seg_hi, -jnp.inf), axis=-1)
+    has_any_segment = jnp.any(seg_valid, axis=-1)
+    k_natural = _orbit_index(near_planes, t_hi_last, step_size, cone_angle)
+    kept_w = jnp.clip(Wb - (cum_w - counts_w), 0, counts_w)
+    truncated = kept_w < counts_w
+    sweep_exhausted = t_hi_last > Tc[:, -1]
+    # first unprocessed valid window (defined when truncated)
+    cs = jnp.cumsum(window_valid.astype(jnp.int32), axis=-1)
+    first_unproc = jnp.argmax(cs > kept_w[:, None], axis=-1)
+    k_stop = jnp.where(
+        truncated,
+        (j0r + first_unproc) * f,
+        jnp.where(sweep_exhausted, (j0r + Kc) * f, k_natural),
+    )
+    termination_planes = _orbit_t(
+        near_planes, k_stop[:, None], step_size, cone_angle
+    )[:, 0]
+    termination_planes = jnp.where(
+        has_any_segment, termination_planes, near_planes
+    )
+    terminated = jnp.where(
+        has_any_segment, ~(truncated | sweep_exhausted), True
+    )
+    if rays_mask is not None:
+        termination_planes = jnp.where(
+            rays_mask, termination_planes, near_planes
+        )
+        terminated = jnp.where(rays_mask, terminated, True)
+
+    return WindowSamples(
+        t0, t1, valid, wray, counts, termination_planes, terminated,
+        total_w - jnp.minimum(total_w, Wb),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -331,70 +618,13 @@ def traverse_grids_windowed(
     if far_planes is None:
         far_planes = jnp.full((n_rays,), jnp.inf, dtype)
 
-    t_mins, t_maxs, hits = ray_aabb_intersect(rays_o, rays_d, aabbs)
-    t_cat = jnp.concatenate([t_mins, t_maxs], axis=-1)
-    t_indices = jnp.argsort(t_cat, axis=-1, stable=True)
-    t_sorted = jnp.take_along_axis(t_cat, t_indices, axis=-1)
-    seg_lo, seg_hi, seg_level, seg_valid = _grid_segments(
-        t_sorted, t_indices, hits, near_planes, far_planes
+    (window_valid, j0, Tc, seg_lo, seg_hi, seg_level, seg_valid) = (
+        _coarse_window_phase(
+            rays_o, rays_d, binaries, aabbs, near_planes, far_planes,
+            step_size, cone_angle, Kc, f, pool, dilation, rays_mask,
+        )
     )
     n_segments = seg_lo.shape[-1]
-
-    # ---- phase 1: coarse windows over the pooled grid -------------------
-    coarse = pool_binaries(binaries, pool, dilation)
-    # Start each ray's window sweep at its first grid-segment entry (rounded
-    # down to a window boundary so everything stays on the orbit) — rays
-    # from outside the grids would otherwise burn ~25% of their coarse
-    # candidates on empty space before the first AABB.
-    t_entry = jnp.min(
-        jnp.where(seg_valid, seg_lo, jnp.inf), axis=-1
-    )  # (n,)
-    k_entry = _orbit_index(near_planes, t_entry, step_size, cone_angle)
-    k_entry = jnp.where(jnp.isfinite(t_entry), (k_entry // f) * f, 0)
-    j0 = (k_entry // f)[:, None]  # first window index per ray
-
-    Tc = _orbit_t(
-        near_planes,
-        (j0 + jnp.arange(Kc + 1, dtype=jnp.int32)[None, :]) * f,
-        step_size, cone_angle,
-    )  # (n, Kc+1)
-    Mc = 0.5 * (Tc[:, :-1] + Tc[:, 1:])
-
-    intersects = jnp.zeros((n_rays, Kc), dtype=bool)
-    mid_inside = jnp.zeros((n_rays, Kc), dtype=bool)
-    level_c = jnp.zeros((n_rays, Kc), dtype=jnp.int32)
-    for j in range(n_segments):
-        lo = seg_lo[:, j : j + 1]
-        hi = seg_hi[:, j : j + 1]
-        sv = seg_valid[:, j : j + 1]
-        inter_j = sv & (lo < Tc[:, 1:]) & (hi > Tc[:, :-1])
-        mid_j = sv & (Mc >= lo) & (Mc < hi)
-        intersects = intersects | inter_j
-        mid_inside = mid_inside | mid_j
-        level_c = jnp.where(mid_j | (inter_j & ~mid_inside), seg_level[:, j : j + 1], level_c)
-
-    pos_c = rays_o[:, None, :] + Mc[..., None] * rays_d[:, None, :]
-    occ_c = _occupancy_lookup(pos_c, level_c, coarse, aabbs)
-    if cone_angle > 0.0:
-        # With geometric step growth a far window's half-extent can exceed
-        # the pool*dilation reach around its midpoint's coarse cell, so the
-        # midpoint probe alone could reject an occupied window; probe the
-        # two window edges as well.  (Still approximate for extreme
-        # cone_angle/window_size products — raise ``dilation`` if the
-        # truncation fraction reported by the trainer climbs.)
-        pos_a = rays_o[:, None, :] + Tc[:, :-1, None] * rays_d[:, None, :]
-        pos_b = rays_o[:, None, :] + Tc[:, 1:, None] * rays_d[:, None, :]
-        occ_c = (
-            occ_c
-            | _occupancy_lookup(pos_a, level_c, coarse, aabbs)
-            | _occupancy_lookup(pos_b, level_c, coarse, aabbs)
-        )
-    # windows whose midpoint is outside every segment but that still touch
-    # one (segment entry/exit straddlers) are kept unconditionally —
-    # conservative; the fine phase re-tests exactly.
-    window_valid = intersects & (occ_c | ~mid_inside)
-    if rays_mask is not None:
-        window_valid = window_valid & rays_mask[:, None]
 
     # ---- phase 2: first W surviving windows, exact fine lattice ---------
     iota_w = jnp.broadcast_to(

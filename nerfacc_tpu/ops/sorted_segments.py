@@ -1,0 +1,173 @@
+"""Scatter-free segmented reductions for *sorted* ray indices.
+
+The training render path works on a compacted flat sample buffer whose ray
+ids are nondecreasing (``CompactSamples``).  On this hardware the generic
+lowerings of segmented ops are dominated by three pathologies measured on
+chip (scripts/microbench_scan.py):
+
+* scatter-add transpose of a gather: ~3.3 ms for 262k rows into 2048 slots;
+* any scatter at all: ~1.6 ms even for 2048 rows;
+* ``reverse`` applied to a scan output: ~2 ms (breaks fusion).
+
+For sorted segments every forward AND backward can instead be written with
+only prefix ``cumsum``, boundary gathers (n_rays rows from the flat array)
+and small-table gathers (flat rows from an (n_rays,) table) — each ~30 us.
+These ops implement that via ``jax.custom_vjp``:
+
+* exclusive-sum backward: ``dL/dv[j] = sum_{i>j, same seg} g[i]
+  = incl[end(seg(j))] - incl[j]`` with ``incl = cumsum(g)`` — no reverse,
+  no scatter (suffix sums fall out of prefix sums and the scalar total).
+* segment-sum backward: broadcast per-segment grads back with one
+  small-table gather.
+
+Replaces the tuple ``lax.associative_scan`` path for training (17.7 ms ->
+~0.3 ms fwd+bwd for the full composite at 2^18 samples).  The general
+unsorted layouts keep the associative-scan implementation in ``scan.py``.
+
+(reference semantics: nerfacc/scan.py:80-145 ``exclusive_sum`` and
+nerfacc/volrend.py:497-561 ``accumulate_along_rays`` restricted to sorted
+``ray_indices`` — the layout the reference's traversal emits, grid.cu:247.)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_ends(ids: jnp.ndarray, n_rays: int) -> jnp.ndarray:
+    """Index of the last element of each segment (-1 for empty segments
+    before the first sample; ends are nondecreasing)."""
+    return (
+        jnp.searchsorted(
+            ids, jnp.arange(n_rays, dtype=ids.dtype), side="right"
+        ).astype(jnp.int32)
+        - 1
+    )
+
+
+def segment_starts(ids: jnp.ndarray, n_rays: int) -> jnp.ndarray:
+    return jnp.searchsorted(
+        ids, jnp.arange(n_rays, dtype=ids.dtype), side="left"
+    ).astype(jnp.int32)
+
+
+def _take_table(table: jnp.ndarray, ids: jnp.ndarray, n_rays: int):
+    """Gather from an (n_rays, ...) table at flat sorted ids; out-of-range
+    ids (the ``n_rays`` fill value of compacted buffers) read row n_rays-1 —
+    callers must mask those slots."""
+    return jnp.take(table, jnp.minimum(ids, n_rays - 1), axis=0)
+
+
+def _resolve_bounds(ids, n_rays, seg_starts, seg_ends, need):
+    """Boundaries from precomputed arrays (preferred: searchsorted lowers to
+    a slow multi-pass binary search on TPU) or searchsorted fallback."""
+    if need == "starts":
+        return segment_starts(ids, n_rays) if seg_starts is None else seg_starts
+    return segment_ends(ids, n_rays) if seg_ends is None else seg_ends
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 5))
+def exclusive_sum_sorted(
+    vals: jnp.ndarray,
+    ids: jnp.ndarray,
+    n_rays: int,
+    seg_starts: jnp.ndarray = None,
+    seg_ends: jnp.ndarray = None,
+    nonnegative: bool = False,
+) -> jnp.ndarray:
+    """``out[i] = sum_{j < i, ids[j] == ids[i]} vals[j]`` for nondecreasing
+    ``ids``.  Slots with ``ids >= n_rays`` (buffer fill) get unspecified
+    values — mask downstream.
+
+    ``seg_starts`` / ``seg_ends``: optional precomputed (n_rays,) first/last
+    slot of each segment (e.g. from ``CompactSamples``); avoids searchsorted.
+
+    ``nonnegative``: promise that ``vals >= 0`` (true for sigma*dt).  Then the
+    global exclusive sum is nondecreasing and the per-sample segment offset
+    is a running max over flagged segment starts — a cummax instead of a
+    boundary gather + per-sample table gather (~2 ms cheaper at 2^18 on TPU).
+    """
+    n = vals.shape[0]
+    incl = jnp.cumsum(vals)
+    excl = incl - vals
+    if nonnegative:
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), ids[1:] != ids[:-1]]
+        )
+        off = jax.lax.associative_scan(
+            jax.lax.max, jnp.where(is_start, excl, 0.0)
+        )
+        return excl - off
+    starts = _resolve_bounds(ids, n_rays, seg_starts, seg_ends, "starts")
+    seg_off = jnp.take(excl, jnp.clip(starts, 0, n - 1))
+    return excl - _take_table(seg_off, ids, n_rays)
+
+
+def _excl_fwd(vals, ids, n_rays, seg_starts=None, seg_ends=None, nonnegative=False):
+    out = exclusive_sum_sorted(
+        vals, ids, n_rays, seg_starts, seg_ends, nonnegative
+    )
+    return out, (ids, seg_ends)
+
+
+def _excl_bwd(n_rays, nonnegative, res, g):
+    ids, seg_ends = res
+    n = g.shape[0]
+    incl = jnp.cumsum(g)
+    ends = _resolve_bounds(ids, n_rays, None, seg_ends, "ends")
+    incl_at_end = jnp.take(incl, jnp.clip(ends, 0, n - 1))
+    # dL/dv[j] = sum_{i > j, same segment} g[i] = incl[end(seg)] - incl[j]
+    return (_take_table(incl_at_end, ids, n_rays) - incl, None, None, None)
+
+
+exclusive_sum_sorted.defvjp(_excl_fwd, _excl_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def segment_sum_sorted(
+    src: jnp.ndarray,
+    ids: jnp.ndarray,
+    n_rays: int,
+    seg_starts: jnp.ndarray = None,
+    seg_ends: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Per-segment sums ``out[r] = sum_{ids[i] == r} src[i]`` for
+    nondecreasing ``ids``; ``src`` may be (n,) or (n, C).  Fill slots
+    (``ids >= n_rays``) are excluded automatically (they lie past every
+    real segment's end).
+
+    Multi-channel inputs are reduced channel-by-channel: C independent 1-D
+    cumsums are ~30 us each on TPU while a single (n, C) axis-0 cumsum pays
+    a pathological minor-dim layout (~4 ms measured at n=2^18, C=5).
+    """
+    n = src.shape[0]
+    ends = _resolve_bounds(ids, n_rays, seg_starts, seg_ends, "ends")
+    ends_c = jnp.clip(ends, 0, n - 1)
+    nonempty = ends >= 0
+
+    def _one(col):
+        csum = jnp.cumsum(col)
+        cae = jnp.where(nonempty, jnp.take(csum, ends_c), 0.0)
+        prev = jnp.concatenate([jnp.zeros_like(cae[:1]), cae[:-1]])
+        return cae - prev
+
+    if src.ndim == 1:
+        return _one(src)
+    return jnp.stack([_one(src[:, c]) for c in range(src.shape[1])], axis=-1)
+
+
+def _seg_fwd(src, ids, n_rays, seg_starts=None, seg_ends=None):
+    out = segment_sum_sorted(src, ids, n_rays, seg_starts, seg_ends)
+    return out, ids
+
+
+def _seg_bwd(n_rays, ids, g):
+    # dL/dsrc[i] = g[seg(i)]; fill slots read row n_rays-1 — their
+    # contribution is masked upstream (w = 0 on fill slots).
+    return (_take_table(g, ids, n_rays), None, None, None)
+
+
+segment_sum_sorted.defvjp(_seg_fwd, _seg_bwd)

@@ -24,9 +24,14 @@ from ..estimators.occ_grid import (
     OccGridState,
     init_occ_grid,
     sampling_padded,
+    sampling_pooled,
     update_occ_grid,
 )
-from ..utils.rendering import compact_samples, render_rays_with_occgrid
+from ..utils.rendering import (
+    compact_samples,
+    compact_samples_from_windows,
+    render_rays_with_occgrid,
+)
 
 
 class TrainState(NamedTuple):
@@ -105,11 +110,22 @@ class NGPOccTrainer:
     lr: float = 1e-2
     sample_budget: int = 2**18
     max_samples_per_ray: int = 1024
+    # traversal mode: "pooled" (global window pool — fastest, no per-ray
+    # window cliff), "windowed" (per-ray window cap) or "padded" (exact
+    # full-lattice; slowest).  ``windowed`` kept as a bool alias for
+    # backward compat: windowed=False forces "padded".
+    traversal: str = "pooled"
     windowed: bool = True
     # W=64 beat 48 by +1.6 dB eval PSNR at 10k steps for +2.4 ms/step on the
     # benchmark scene (incomplete-ray truncation costs quality); 96 plateaus.
+    # (Only used by traversal="windowed"; "pooled" sizes itself from
+    # window_budget and has no per-ray cliff.)
     n_windows: int = 64
     window_size: int = 8
+    # global window pool size for traversal="pooled"; None = sample_budget//4
+    # (a window holds up to window_size samples; ~60% are fine-valid on
+    # typical scenes, so budget//4 windows can always fill the sample budget)
+    window_budget: Optional[int] = None
     # dynamic scenes (T-NeRF): condition the field on per-ray timestamps
     # (batches must carry a "timestamps" (n_rays, 1) entry) and feed random
     # frame times into occupancy updates (reference: train_mlp_tnerf.py:128-135)
@@ -235,27 +251,57 @@ class NGPOccTrainer:
         render_bkgd = batch["color_bkgd"]
 
         # Sampling (no gradients through traversal).
-        res = sampling_padded(
-            occ_state,
-            rays_o,
-            rays_d,
-            near_plane=self.near_plane,
-            far_plane=self.far_plane,
-            render_step_size=self.render_step_size,
-            alpha_thre=self.alpha_thre,
-            early_stop_eps=self.early_stop_eps,
-            stratified=self.stratified,
-            cone_angle=self.cone_angle,
-            key=k_strat,
-            max_samples=self.max_samples_per_ray,
-            windowed=self.windowed,
-            n_windows=self.n_windows,
-            window_size=self.window_size,
-            max_coarse=max(
-                self.max_samples_per_ray // self.window_size + 32, 64
-            ),
-        )
-        samples = compact_samples(res, self.sample_budget)
+        max_coarse = max(self.max_samples_per_ray // self.window_size + 32, 64)
+        mode = self.traversal if self.windowed else "padded"
+        if mode == "pooled":
+            wb = (
+                self.window_budget
+                if self.window_budget is not None
+                else max(self.sample_budget // 4, 1024)
+            )
+            ws = sampling_pooled(
+                occ_state,
+                rays_o,
+                rays_d,
+                near_plane=self.near_plane,
+                far_plane=self.far_plane,
+                render_step_size=self.render_step_size,
+                stratified=self.stratified,
+                cone_angle=self.cone_angle,
+                key=k_strat,
+                window_budget=min(wb, rays_o.shape[0] * max_coarse),
+                window_size=self.window_size,
+                max_coarse=max_coarse,
+            )
+            samples = compact_samples_from_windows(
+                ws, self.sample_budget, rays_o.shape[0]
+            )
+            terminated = ws.terminated
+            # demand estimate for the batch-size controller: dropped windows
+            # hold up to window_size samples each
+            extra_demand = ws.window_overflow * self.window_size
+        else:
+            res = sampling_padded(
+                occ_state,
+                rays_o,
+                rays_d,
+                near_plane=self.near_plane,
+                far_plane=self.far_plane,
+                render_step_size=self.render_step_size,
+                alpha_thre=self.alpha_thre,
+                early_stop_eps=self.early_stop_eps,
+                stratified=self.stratified,
+                cone_angle=self.cone_angle,
+                key=k_strat,
+                max_samples=self.max_samples_per_ray,
+                windowed=(mode == "windowed"),
+                n_windows=self.n_windows,
+                window_size=self.window_size,
+                max_coarse=max_coarse,
+            )
+            samples = compact_samples(res, self.sample_budget)
+            terminated = res.terminated
+            extra_demand = jnp.zeros((), jnp.int32)
 
         # Rays truncated by the sample budget render wrong colors; exclude
         # them from the loss (training them toward the background biases the
@@ -285,7 +331,7 @@ class NGPOccTrainer:
             # be truncated; masking them all would zero the loss and
             # deadlock, so only apply this mask once a reasonable fraction
             # of rays completes.
-            window_ok = res.terminated[:, None] | (opacities > 1.0 - 1e-3)
+            window_ok = terminated[:, None] | (opacities > 1.0 - 1e-3)
             frac_ok = _pmean(jnp.mean(window_ok.astype(jnp.float32)))
             ray_ok = budget_ok & jnp.where(frac_ok > 0.25, window_ok, True)
             # Normalize by the GLOBAL completed-ray count so the per-shard
@@ -328,7 +374,7 @@ class NGPOccTrainer:
         new_state = TrainState(
             params, opt_state, occ_state, key, state.step + 1
         )
-        n_truncated = jnp.sum(~res.terminated)
+        n_truncated = jnp.sum(~terminated)
         aux = {
             "loss": loss,
             "mse": mse,
@@ -337,7 +383,9 @@ class NGPOccTrainer:
             # the batch-size controller must see the TRUE sample demand,
             # including samples dropped past the budget, or it will not
             # shrink the ray batch when overflowing
-            "n_total_samples": _psum(samples.num_valid + samples.overflow),
+            "n_total_samples": _psum(
+                samples.num_valid + samples.overflow + extra_demand
+            ),
             "overflow": _psum(samples.overflow),
             # windowed-traversal cliff guard: the fraction of rays whose
             # window budget ran out mid-scene.  Persistently high values mean

@@ -39,6 +39,10 @@ class CompactSamples(NamedTuple):
             truncated by the budget (== n_rays when nothing was dropped).
             Rays >= this id have wrong renders and must be masked out of any
             training loss.
+        seg_starts / seg_ends: (n_rays,) first and last slot index of each
+            ray's samples in the buffer (ends inclusive; ends < starts for
+            empty rays).  Computed analytically from the per-ray counts so
+            the compositing ops never need a searchsorted.
     """
 
     ray_indices: jnp.ndarray
@@ -48,6 +52,8 @@ class CompactSamples(NamedTuple):
     num_valid: jnp.ndarray
     overflow: jnp.ndarray
     first_incomplete_ray: jnp.ndarray
+    seg_starts: jnp.ndarray
+    seg_ends: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=("budget",))
@@ -77,17 +83,25 @@ def compact_samples(res: TraversalResult, budget: int) -> CompactSamples:
         [res.t_starts.reshape(-1), res.t_ends.reshape(-1)], axis=-1
     )
     rows = jnp.take(payload, sel, axis=0)  # (budget, 2)
-    total = jnp.sum(flat_valid.astype(jnp.int32))
+    g_t0, g_t1 = rows[:, 0], rows[:, 1]
+    counts = jnp.sum(res.valid.astype(jnp.int32), axis=-1)  # (n_rays,)
+    total = jnp.sum(counts)
     num_valid = jnp.minimum(total, budget)
     valid = jnp.arange(budget, dtype=jnp.int32) < num_valid
     # Invalid slots get ray id n_rays (NOT 0): compaction preserves order, so
     # only a fill value >= every real id keeps the buffer sorted — a 0 fill
-    # breaks the searchsorted segment ends in _sorted_segment_sum and
-    # corrupts per-ray sums whenever the buffer is partially filled.
+    # breaks the segment ends used by the sorted reductions and corrupts
+    # per-ray sums whenever the buffer is partially filled.
     out_ray = jnp.where(valid, sel // K, n_rays).astype(jnp.int32)
-    out_t0 = jnp.where(valid, rows[:, 0], 0.0)
-    out_t1 = jnp.where(valid, rows[:, 1], 0.0)
+    out_t0 = jnp.where(valid, g_t0, 0.0)
+    out_t1 = jnp.where(valid, g_t1, 0.0)
     overflow = total - num_valid
+    # Segment boundaries, analytically: compaction preserves ray order, so
+    # ray r's kept samples occupy [cumsum(counts)[r-1], ...+counts[r]) cut
+    # at the budget.  (Saves the compositing ops a searchsorted each.)
+    ends_excl = jnp.cumsum(counts)
+    seg_starts = jnp.minimum(ends_excl - counts, budget).astype(jnp.int32)
+    seg_ends = (jnp.minimum(ends_excl, budget) - 1).astype(jnp.int32)
     # The sort keeps (ray, sample) order, so truncation hits a ray suffix:
     # the first dropped sample's ray and everything after it is incomplete.
     last_kept_ray = out_ray[jnp.maximum(num_valid - 1, 0)]
@@ -95,7 +109,55 @@ def compact_samples(res: TraversalResult, budget: int) -> CompactSamples:
         overflow > 0, last_kept_ray, jnp.asarray(n_rays, jnp.int32)
     )
     return CompactSamples(
-        out_ray, out_t0, out_t1, valid, num_valid, overflow, first_incomplete
+        out_ray, out_t0, out_t1, valid, num_valid, overflow, first_incomplete,
+        seg_starts, seg_ends,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("budget", "n_rays"))
+def compact_samples_from_windows(ws, budget: int, n_rays: int) -> CompactSamples:
+    """Compact a :class:`~nerfacc_tpu.grid.WindowSamples` pool into the flat
+    fixed-budget sample buffer (same contract as :func:`compact_samples`).
+
+    The pool is already (ray, window)-ordered, so one order-preserving key
+    sort of ``window_budget * window_size`` candidates suffices — this is
+    2-3x smaller than compacting the padded ``(n_rays, max_samples)`` layout.
+    Ray ids ride the payload gather as an f32 lane (exact for n_rays < 2^24).
+    """
+    Wb, f = ws.valid.shape
+    n = Wb * f
+    flat_valid = ws.valid.reshape(-1)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(flat_valid, iota, iota + n)
+    _, order = jax.lax.sort_key_val(keys, iota)
+    sel = order[:budget]
+    if budget > n:
+        sel = jnp.concatenate([sel, jnp.zeros((budget - n,), jnp.int32)])
+
+    ray_f = jnp.broadcast_to(
+        ws.ray_ids[:, None].astype(jnp.float32), (Wb, f)
+    ).reshape(-1)
+    payload = jnp.stack(
+        [ws.t_starts.reshape(-1), ws.t_ends.reshape(-1), ray_f], axis=-1
+    )
+    rows = jnp.take(payload, sel, axis=0)  # (budget, 3)
+    total = jnp.sum(ws.counts)
+    num_valid = jnp.minimum(total, budget)
+    valid = jnp.arange(budget, dtype=jnp.int32) < num_valid
+    out_ray = jnp.where(valid, rows[:, 2].astype(jnp.int32), n_rays)
+    out_t0 = jnp.where(valid, rows[:, 0], 0.0)
+    out_t1 = jnp.where(valid, rows[:, 1], 0.0)
+    overflow = total - num_valid
+    ends_excl = jnp.cumsum(ws.counts)
+    seg_starts = jnp.minimum(ends_excl - ws.counts, budget).astype(jnp.int32)
+    seg_ends = (jnp.minimum(ends_excl, budget) - 1).astype(jnp.int32)
+    last_kept_ray = out_ray[jnp.maximum(num_valid - 1, 0)]
+    first_incomplete = jnp.where(
+        overflow > 0, last_kept_ray, jnp.asarray(n_rays, jnp.int32)
+    )
+    return CompactSamples(
+        out_ray, out_t0, out_t1, valid, num_valid, overflow, first_incomplete,
+        seg_starts, seg_ends,
     )
 
 
@@ -140,14 +202,23 @@ def render_rays_with_occgrid(
         ray_indices=samples.ray_indices,
         n_rays=n_rays,
         masks=samples.valid,
+        indices_sorted=True,
+        seg_starts=samples.seg_starts,
+        seg_ends=samples.seg_ends,
     )
     # One fused scatter-free accumulation for rgb (3), opacity (1), depth (1)
     # — compacted ray indices are sorted by construction.
     packed = jnp.concatenate(
         [rgbs, jnp.ones_like(t_mid[:, None]), t_mid[:, None]], axis=-1
     )
-    accum = accumulate_along_rays(
-        weights, packed, samples.ray_indices, n_rays, indices_sorted=True
+    from ..ops.sorted_segments import segment_sum_sorted
+
+    accum = segment_sum_sorted(
+        weights[:, None] * packed,
+        samples.ray_indices,
+        n_rays,
+        samples.seg_starts,
+        samples.seg_ends,
     )
     colors = accum[:, :3]
     opacities = accum[:, 3:4]

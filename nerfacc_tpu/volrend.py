@@ -66,6 +66,9 @@ def render_transmittance_from_density(
     n_rays: Optional[int] = None,
     prefix_trans: Optional[jnp.ndarray] = None,
     masks: Optional[jnp.ndarray] = None,
+    indices_sorted: bool = False,
+    seg_starts: Optional[jnp.ndarray] = None,
+    seg_ends: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Transmittance ``T_i = exp(-sum_{j<i} sigma_j * delta_j)`` and alphas.
 
@@ -85,9 +88,22 @@ def render_transmittance_from_density(
     sigmas_dt = sigmas * (t_ends - t_starts)
     sigmas_dt = _apply_mask(sigmas_dt, masks, 0.0)
     alphas = 1.0 - jnp.exp(-sigmas_dt)
-    trans = jnp.exp(
-        -exclusive_sum(sigmas_dt, packed_info=packed_info, indices=ray_indices)
-    )
+    if indices_sorted and ray_indices is not None and n_rays is not None:
+        # Sorted flat layout (compacted buffers): scatter/reverse-free
+        # segmented sum with a custom VJP — ~50x cheaper fwd+bwd on TPU
+        # than the associative-scan path (see ops/sorted_segments.py).
+        from .ops.sorted_segments import exclusive_sum_sorted
+
+        # last positional flag: sigma * dt >= 0 (custom_vjp takes no kwargs)
+        excl = exclusive_sum_sorted(
+            sigmas_dt, ray_indices, n_rays, seg_starts, seg_ends, True
+        )
+        excl = _apply_mask(excl, masks, 0.0)  # fill slots hold garbage
+    else:
+        excl = exclusive_sum(
+            sigmas_dt, packed_info=packed_info, indices=ray_indices
+        )
+    trans = jnp.exp(-excl)
     if prefix_trans is not None:
         trans = trans * prefix_trans
     return trans, alphas
@@ -122,6 +138,9 @@ def render_weight_from_density(
     n_rays: Optional[int] = None,
     prefix_trans: Optional[jnp.ndarray] = None,
     masks: Optional[jnp.ndarray] = None,
+    indices_sorted: bool = False,
+    seg_starts: Optional[jnp.ndarray] = None,
+    seg_ends: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Rendering weights from density (reference: nerfacc/volrend.py:326-376)."""
     trans, alphas = render_transmittance_from_density(
@@ -133,6 +152,9 @@ def render_weight_from_density(
         n_rays,
         prefix_trans,
         masks,
+        indices_sorted,
+        seg_starts,
+        seg_ends,
     )
     weights = trans * alphas
     return weights, trans, alphas
@@ -195,27 +217,12 @@ def _sorted_segment_sum(
 ) -> jnp.ndarray:
     """Segment sum for *sorted* segment ids, scatter-free.
 
-    TPU scatters serialize (~4ns/row); for sorted ids the same reduction is
-    a segmented inclusive scan (log-depth, vectorized) plus one boundary
-    gather of n_rays rows.
+    TPU scatters serialize; for sorted ids the same reduction (fwd and bwd)
+    is one cumsum plus boundary gathers (ops/sorted_segments.py).
     """
-    from .scan import _flags_from_indices, _segmented_scan
+    from .ops.sorted_segments import segment_sum_sorted
 
-    flags = _flags_from_indices(ray_indices)
-    incl = _segmented_scan(src, flags[:, None] if src.ndim == 2 else flags, "sum")
-    # last sample position of each ray
-    ends = (
-        jnp.searchsorted(ray_indices, jnp.arange(n_rays, dtype=ray_indices.dtype),
-                         side="right")
-        - 1
-    )
-    counts = jnp.searchsorted(
-        ray_indices, jnp.arange(n_rays, dtype=ray_indices.dtype), side="right"
-    ) - jnp.searchsorted(
-        ray_indices, jnp.arange(n_rays, dtype=ray_indices.dtype), side="left"
-    )
-    out = jnp.take(incl, jnp.clip(ends, 0, src.shape[0] - 1), axis=0)
-    return jnp.where((counts > 0)[:, None], out, 0.0)
+    return segment_sum_sorted(src, ray_indices, n_rays)
 
 
 def accumulate_along_rays(

@@ -1,0 +1,122 @@
+"""Pooled (global window pool) traversal must agree with the exact padded
+traversal wherever no budget is exhausted, and report truncation honestly
+when it is."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfacc_tpu.estimators.occ_grid import init_occ_grid
+from nerfacc_tpu.grid import traverse_grids_padded, traverse_grids_pooled
+from nerfacc_tpu.utils.rendering import compact_samples_from_windows
+
+
+def _scene(n_rays=64, res=32, seed=0):
+    rng = np.random.default_rng(seed)
+    state = init_occ_grid(jnp.asarray([-1.0, -1, -1, 1, 1, 1]), res, 1)
+    bins = rng.random((1, res, res, res)) < 0.3
+    state = state.__class__(
+        aabbs=state.aabbs, occs=state.occs, binaries=jnp.asarray(bins)
+    )
+    origins = rng.normal(size=(n_rays, 3))
+    origins = origins / np.linalg.norm(origins, axis=-1, keepdims=True) * 2.5
+    dirs = -origins + rng.normal(size=(n_rays, 3)) * 0.2
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return state, jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32)
+
+
+def _per_ray_mids(t0, t1, valid, ray_of_row):
+    """set of valid sample midpoints per ray."""
+    mids = 0.5 * (np.asarray(t0) + np.asarray(t1))
+    v = np.asarray(valid)
+    out = {}
+    rows = np.asarray(ray_of_row)
+    for i in range(v.shape[0]):
+        r = int(rows[i])
+        got = mids[i][v[i]]
+        if len(got):
+            out.setdefault(r, []).append(got)
+    return {r: np.sort(np.concatenate(g)) for r, g in out.items()}
+
+
+def test_pooled_matches_padded_with_ample_budget():
+    state, rays_o, rays_d = _scene()
+    n_rays = rays_o.shape[0]
+    step = 5e-3
+
+    ref = traverse_grids_padded(
+        rays_o, rays_d, state.binaries, state.aabbs,
+        step_size=step, max_samples=1024)
+    ws = traverse_grids_pooled(
+        rays_o, rays_d, state.binaries, state.aabbs,
+        step_size=step, window_budget=n_rays * 128, window_size=8,
+        max_coarse=160)
+
+    assert bool(jnp.all(ws.terminated)), "ample budget must not truncate"
+    assert int(ws.window_overflow) == 0
+
+    ref_mids = _per_ray_mids(
+        ref.t_starts, ref.t_ends, ref.valid,
+        np.arange(n_rays))
+    got_mids = _per_ray_mids(ws.t_starts, ws.t_ends, ws.valid, ws.ray_ids)
+    assert set(ref_mids.keys()) == set(got_mids.keys())
+    for r in ref_mids:
+        np.testing.assert_allclose(ref_mids[r], got_mids[r], atol=1e-6)
+
+    # per-ray counts bookkeeping
+    ref_counts = np.asarray(jnp.sum(ref.valid, -1))
+    np.testing.assert_array_equal(np.asarray(ws.counts), ref_counts)
+
+    # termination planes match the exact traversal's for terminated rays
+    np.testing.assert_allclose(
+        np.asarray(ws.termination_planes),
+        np.asarray(ref.termination_planes), atol=step + 1e-5)
+
+
+def test_pooled_truncation_is_a_ray_suffix():
+    state, rays_o, rays_d = _scene()
+    ws_full = traverse_grids_pooled(
+        rays_o, rays_d, state.binaries, state.aabbs,
+        step_size=5e-3, window_budget=rays_o.shape[0] * 128)
+    total_windows = int(jnp.sum(ws_full.ray_ids < rays_o.shape[0]))
+    wb = max(total_windows // 2, 8)
+    ws = traverse_grids_pooled(
+        rays_o, rays_d, state.binaries, state.aabbs,
+        step_size=5e-3, window_budget=wb)
+    assert int(ws.window_overflow) > 0
+    term = np.asarray(ws.terminated)
+    counts_full = np.asarray(ws_full.counts)
+    counts = np.asarray(ws.counts)
+    # rays keeping fewer samples than the untruncated run must be flagged
+    lost = counts < counts_full
+    assert lost.any()
+    assert not (lost & term).any(), "rays losing samples must be unterminated"
+    # pool cut hits a contiguous ray suffix: every ray with windows after the
+    # first losing ray is also affected or has no windows at all
+    first_lost = np.argmax(lost)
+    after = counts_full[first_lost + 1:] > 0
+    assert np.all(lost[first_lost + 1:][after] | (counts[first_lost + 1:][after] == 0) | ~after | lost[first_lost + 1:][after])
+
+
+def test_compact_from_windows_matches_direct():
+    from nerfacc_tpu.utils.rendering import compact_samples
+
+    state, rays_o, rays_d = _scene()
+    n_rays = rays_o.shape[0]
+    ref = traverse_grids_padded(
+        rays_o, rays_d, state.binaries, state.aabbs,
+        step_size=5e-3, max_samples=1024)
+    ws = traverse_grids_pooled(
+        rays_o, rays_d, state.binaries, state.aabbs,
+        step_size=5e-3, window_budget=n_rays * 128)
+    budget = 4096
+    a = compact_samples(ref, budget)
+    b = compact_samples_from_windows(ws, budget, n_rays)
+    assert int(a.num_valid) == int(b.num_valid)
+    nv = int(a.num_valid)
+    np.testing.assert_array_equal(
+        np.asarray(a.ray_indices)[:nv], np.asarray(b.ray_indices)[:nv])
+    np.testing.assert_allclose(
+        np.asarray(a.t_starts)[:nv], np.asarray(b.t_starts)[:nv], atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(a.seg_starts), np.asarray(b.seg_starts))
+    np.testing.assert_array_equal(np.asarray(a.seg_ends), np.asarray(b.seg_ends))

@@ -106,7 +106,7 @@ def _cell_coords(ids: jnp.ndarray, resolution: Tuple[int, int, int]) -> jnp.ndar
 
 
 def _chunked_eval(
-    fn: Callable, x: jnp.ndarray, chunk: int = 2**18
+    fn: Callable, x: jnp.ndarray, chunk: int = 2**19
 ) -> jnp.ndarray:
     """Evaluate ``fn`` over (N, 3) points in sequential chunks via
     ``lax.map`` to bound peak memory (the occupancy warmup touches millions
@@ -384,6 +384,7 @@ def sampling_pooled(
     window_budget: int = 1 << 16,
     window_size: int = 8,
     max_coarse: int = 160,
+    fine_probes: int = 0,
 ) -> WindowSamples:
     """Sampling with spatial skipping via the GLOBAL window pool — the
     train-path fast traversal (see :func:`~nerfacc_tpu.grid.
@@ -418,6 +419,7 @@ def sampling_pooled(
         window_budget=window_budget,
         window_size=window_size,
         max_coarse=max_coarse,
+        fine_probes=fine_probes,
     )
 
 

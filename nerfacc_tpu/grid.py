@@ -232,6 +232,136 @@ def _occupancy_lookup(
     return jnp.take(binaries.reshape(-1), flat)
 
 
+def _occupancy_lookup_dot(
+    pos: jnp.ndarray,
+    level: jnp.ndarray,
+    binaries: jnp.ndarray,
+    aabbs: jnp.ndarray,
+) -> jnp.ndarray:
+    """Exact occupancy lookup as a one-hot MXU contraction — for SMALL grids
+    (the pooled coarse grid: <= ~16k cells per level).
+
+    A random gather costs ~7 ns/index on this TPU; for a bit table of W
+    32-bit words the equivalent (N, W) one-hot @ (W, 32) bf16 matmul runs at
+    MXU speed and XLA fuses the iota-compare one-hot without materializing
+    it.  Bit values 0/1 are exact in bf16.
+    """
+    m = binaries.shape[0]
+    res = jnp.asarray(binaries.shape[1:], dtype=pos.dtype)
+    lo = jnp.broadcast_to(aabbs[0, :3], pos.shape)
+    hi = jnp.broadcast_to(aabbs[0, 3:], pos.shape)
+    for l in range(1, m):
+        sel = (level == l)[..., None]
+        lo = jnp.where(sel, aabbs[l, :3], lo)
+        hi = jnp.where(sel, aabbs[l, 3:], hi)
+    u = (pos - lo) / (hi - lo)
+    idx = jnp.clip(
+        jnp.floor(u * res).astype(jnp.int32),
+        0,
+        jnp.asarray(binaries.shape[1:], dtype=jnp.int32) - 1,
+    )
+    rx, ry, rz = binaries.shape[1:]
+    flat = ((level * rx + idx[..., 0]) * ry + idx[..., 1]) * rz + idx[..., 2]
+    total = m * rx * ry * rz
+    n_words = (total + 31) // 32
+    pad = n_words * 32 - total
+    bits = binaries.reshape(-1)
+    if pad:
+        bits = jnp.concatenate([bits, jnp.zeros((pad,), bool)])
+    table = bits.reshape(n_words, 32).astype(jnp.bfloat16)
+
+    shape = flat.shape
+    flat1 = flat.reshape(-1)
+    word = flat1 // 32
+    bit = flat1 % 32
+    oh = (
+        word[:, None] == jnp.arange(n_words, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)
+    rows = jax.lax.dot_general(
+        oh, table, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, 32)
+    picked = jnp.sum(
+        jnp.where(
+            bit[:, None] == jnp.arange(32, dtype=jnp.int32)[None, :],
+            rows,
+            0.0,
+        ),
+        axis=-1,
+    )
+    return (picked > 0.5).reshape(shape)
+
+
+def _pack_bits_z(binaries: jnp.ndarray) -> jnp.ndarray:
+    """Pack the occupancy bits along z into int32 words:
+    ``words[m, ix, iy, izw]`` holds voxels ``iz in [izw*32, izw*32+32)``.
+    Pure elementwise — cheap to rebuild inside the jit every step."""
+    m, rx, ry, rz = binaries.shape
+    pad = (-rz) % 32
+    b = binaries
+    if pad:
+        b = jnp.concatenate(
+            [b, jnp.zeros((m, rx, ry, pad), bool)], axis=-1
+        )
+    b = b.reshape(m, rx, ry, -1, 32)
+    weights = (jnp.int32(1) << jnp.arange(32, dtype=jnp.int32))
+    return jnp.sum(b.astype(jnp.int32) * weights, axis=-1)
+
+
+def _occupancy_lookup_window_words(
+    pos: jnp.ndarray,
+    level: jnp.ndarray,
+    binaries: jnp.ndarray,
+    aabbs: jnp.ndarray,
+    probes: Tuple[int, ...] = (0,),
+) -> jnp.ndarray:
+    """Occupancy for window-shaped candidates ``pos (W, f, 3)`` with ~f/3x
+    fewer gathers: gather one bit-packed z-word per PROBE candidate and
+    resolve every candidate against the probes' words elementwise.
+
+    A window spans ~1-2 voxels, so candidates nearly always share a word
+    with one of the probes (word coords are monotone along the ray).
+    Candidates matching no probe word are conservatively reported OCCUPIED —
+    they render through the field with sigma-driven weights, so the result
+    is a slight superset of the reference's sample set, never a miss.
+    """
+    W, f = level.shape
+    m = binaries.shape[0]
+    rx, ry, rz = binaries.shape[1:]
+    rzw = (rz + 31) // 32
+    words = _pack_bits_z(binaries).reshape(-1)  # (m * rx * ry * rzw,)
+
+    res = jnp.asarray(binaries.shape[1:], dtype=pos.dtype)
+    lo = jnp.broadcast_to(aabbs[0, :3], pos.shape)
+    hi = jnp.broadcast_to(aabbs[0, 3:], pos.shape)
+    for l in range(1, m):
+        sel = (level == l)[..., None]
+        lo = jnp.where(sel, aabbs[l, :3], lo)
+        hi = jnp.where(sel, aabbs[l, 3:], hi)
+    u = (pos - lo) / (hi - lo)
+    idx = jnp.clip(
+        jnp.floor(u * res).astype(jnp.int32),
+        0,
+        jnp.asarray(binaries.shape[1:], dtype=jnp.int32) - 1,
+    )
+    word_idx = (
+        (level * rx + idx[..., 0]) * ry + idx[..., 1]
+    ) * rzw + idx[..., 2] // 32  # (W, f)
+    bit = idx[..., 2] % 32
+
+    occ = None
+    matched = jnp.zeros((W, f), bool)
+    for p in probes:
+        w_p = jnp.take(words, word_idx[:, p])  # (W,) int32 gather
+        hit_p = word_idx == word_idx[:, p : p + 1]
+        bit_p = ((w_p[:, None] >> bit) & 1) > 0
+        occ_p = hit_p & bit_p
+        occ = occ_p if occ is None else (occ | occ_p)
+        matched = matched | hit_p
+    # unmatched candidates: conservative occupied
+    return occ | ~matched
+
+
 def _orbit_index(
     near: jnp.ndarray, t: jnp.ndarray, step_size: float, cone_angle: float
 ) -> jnp.ndarray:
@@ -338,8 +468,15 @@ def _coarse_window_phase(
             mid_j | (inter_j & ~mid_inside), seg_level[:, j : j + 1], level_c
         )
 
+    # small coarse grids take the exact MXU one-hot path (~10x cheaper than
+    # the gather at 128^3/pool=4); big ones fall back to the gather
+    _coarse_lookup = (
+        _occupancy_lookup_dot
+        if coarse.size <= (1 << 17)
+        else _occupancy_lookup
+    )
     pos_c = rays_o[:, None, :] + Mc[..., None] * rays_d[:, None, :]
-    occ_c = _occupancy_lookup(pos_c, level_c, coarse, aabbs)
+    occ_c = _coarse_lookup(pos_c, level_c, coarse, aabbs)
     if cone_angle > 0.0:
         # With geometric step growth a far window's half-extent can exceed
         # the pool*dilation reach around its midpoint's coarse cell, so the
@@ -351,8 +488,8 @@ def _coarse_window_phase(
         pos_b = rays_o[:, None, :] + Tc[:, 1:, None] * rays_d[:, None, :]
         occ_c = (
             occ_c
-            | _occupancy_lookup(pos_a, level_c, coarse, aabbs)
-            | _occupancy_lookup(pos_b, level_c, coarse, aabbs)
+            | _coarse_lookup(pos_a, level_c, coarse, aabbs)
+            | _coarse_lookup(pos_b, level_c, coarse, aabbs)
         )
     # windows whose midpoint is outside every segment but that still touch
     # one (segment entry/exit straddlers) are kept unconditionally —
@@ -403,6 +540,7 @@ class WindowSamples(NamedTuple):
         "max_coarse",
         "pool",
         "dilation",
+        "fine_probes",
     ),
 )
 def traverse_grids_pooled(
@@ -420,8 +558,15 @@ def traverse_grids_pooled(
     pool: int = 4,
     dilation: int = 1,
     rays_mask: Optional[jnp.ndarray] = None,
+    fine_probes: int = 0,
 ) -> WindowSamples:
     """Coarse-to-fine traversal with a GLOBAL window pool.
+
+    ``fine_probes > 0`` switches the fine occupancy test to the bit-packed
+    per-window probe scheme (:func:`_occupancy_lookup_window_words`) with
+    that many probes per window — ~f/probes fewer gathers, conservative
+    superset of the exact sample set (a few sigma=0 samples may be emitted
+    at block corners).  0 = exact per-candidate gather.
 
     Same two-phase scheme as :func:`traverse_grids_windowed` but the fine
     phase runs on the batch-wide pool of surviving windows instead of a fixed
@@ -512,7 +657,19 @@ def traverse_grids_pooled(
         level = jnp.where(inside_j, slev_w[:, j : j + 1], level)
 
     pos = o_w[:, None, :] + t_mids[..., None] * d_w[:, None, :]
-    occupied = _occupancy_lookup(pos, level, binaries, aabbs)
+    if fine_probes > 0:
+        if fine_probes == 1:
+            probes = (f // 2,)
+        else:  # evenly spaced, endpoints included
+            probes = tuple(sorted(set(
+                round(i * (f - 1) / (fine_probes - 1))
+                for i in range(fine_probes)
+            )))
+        occupied = _occupancy_lookup_window_words(
+            pos, level, binaries, aabbs, probes
+        )
+    else:
+        occupied = _occupancy_lookup(pos, level, binaries, aabbs)
     valid = inside_any & occupied & w_in[:, None]
 
     # ---- per-ray sample counts within the pool ----------------------------

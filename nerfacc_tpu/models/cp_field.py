@@ -87,20 +87,29 @@ class CPGridEncoder:
         for (R, rank), line in zip(
             zip(self.resolutions, self.ranks), params["lines"]
         ):
-            prod = None
-            for axis in range(3):
-                if self.use_pallas:
-                    from ..ops import hat_interp_matmul
+            if self.use_pallas:
+                from ..ops import hat_interp_matmul
 
+                prod = None
+                for axis in range(3):
                     a = hat_interp_matmul(x[:, axis], line[axis])
-                else:
-                    w = _hat_weights(x[:, axis], R, self.compute_dtype)
-                    a = jnp.dot(
-                        w,
-                        line[axis].astype(self.compute_dtype),
-                        preferred_element_type=jnp.float32,
-                    )  # (N, rank)
-                prod = a if prod is None else prod * a
+                    prod = a if prod is None else prod * a
+            else:
+                # one batched (3, N, R) @ (3, R, rank) dot per level instead
+                # of three separate dots — fewer kernel launches, same MXU
+                # work (launch overhead is ~0.1-0.2 ms each on this chip)
+                pos = x.T * (R - 1)  # (3, N)
+                grid = jnp.arange(R, dtype=x.dtype)
+                w = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(pos[:, :, None] - grid[None, None, :])
+                ).astype(self.compute_dtype)  # (3, N, R)
+                a = jax.lax.dot_general(
+                    w,
+                    line.astype(self.compute_dtype),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # (3, N, rank)
+                prod = a[0] * a[1] * a[2]
             feats.append(prod)
         return jnp.concatenate(feats, axis=-1)
 

@@ -126,6 +126,10 @@ class NGPOccTrainer:
     # (a window holds up to window_size samples; ~60% are fine-valid on
     # typical scenes, so budget//4 windows can always fill the sample budget)
     window_budget: Optional[int] = None
+    # fine occupancy probes per window for traversal="pooled": ~window_size/
+    # probes fewer gathers; conservative superset of the exact sample set
+    # (block-corner candidates may emit sigma=0 samples).  0 = exact.
+    fine_probes: int = 3
     # dynamic scenes (T-NeRF): condition the field on per-ray timestamps
     # (batches must carry a "timestamps" (n_rays, 1) entry) and feed random
     # frame times into occupancy updates (reference: train_mlp_tnerf.py:128-135)
@@ -272,6 +276,7 @@ class NGPOccTrainer:
                 window_budget=min(wb, rays_o.shape[0] * max_coarse),
                 window_size=self.window_size,
                 max_coarse=max_coarse,
+                fine_probes=self.fine_probes,
             )
             samples = compact_samples_from_windows(
                 ws, self.sample_budget, rays_o.shape[0]

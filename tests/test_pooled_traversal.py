@@ -120,3 +120,21 @@ def test_compact_from_windows_matches_direct():
     np.testing.assert_array_equal(
         np.asarray(a.seg_starts), np.asarray(b.seg_starts))
     np.testing.assert_array_equal(np.asarray(a.seg_ends), np.asarray(b.seg_ends))
+
+
+def test_fine_probes_superset_and_tight():
+    """fine_probes>0 must emit a SUPERSET of the exact sample set, with only
+    a small inflation (conservative block-corner fallbacks)."""
+    state, rays_o, rays_d = _scene(n_rays=128, seed=3)
+    n_rays = rays_o.shape[0]
+    kw = dict(step_size=5e-3, window_budget=n_rays * 128, window_size=8,
+              max_coarse=160)
+    exact = traverse_grids_pooled(
+        rays_o, rays_d, state.binaries, state.aabbs, fine_probes=0, **kw)
+    approx = traverse_grids_pooled(
+        rays_o, rays_d, state.binaries, state.aabbs, fine_probes=3, **kw)
+    ve, va = np.asarray(exact.valid), np.asarray(approx.valid)
+    # same windows in both runs (coarse phase identical) -> aligned slots
+    assert (ve & ~va).sum() == 0, "approx must never drop an exact sample"
+    inflation = (va & ~ve).sum() / max(ve.sum(), 1)
+    assert inflation < 0.05, f"sample inflation too high: {inflation:.3f}"

@@ -106,7 +106,7 @@ def _cell_coords(ids: jnp.ndarray, resolution: Tuple[int, int, int]) -> jnp.ndar
 
 
 def _chunked_eval(
-    fn: Callable, x: jnp.ndarray, chunk: int = 2**19
+    fn: Callable, x: jnp.ndarray, chunk: int = 2**21
 ) -> jnp.ndarray:
     """Evaluate ``fn`` over (N, 3) points in sequential chunks via
     ``lax.map`` to bound peak memory (the occupancy warmup touches millions
@@ -177,6 +177,7 @@ def update_occ_grid(
     occ_thre: float = 1e-2,
     ema_decay: float = 0.95,
     warmup_steps: int = 256,
+    dense: bool = False,
 ) -> OccGridState:
     """One EMA occupancy update — pure, jittable (reference: occ_grid.py:366-404).
 
@@ -184,22 +185,28 @@ def update_occ_grid(
     sampled uniformly plus an equal number drawn uniformly from the occupied
     cells (reference: occ_grid.py:345-364 — realized here as a fixed-shape
     ``categorical`` over the binary mask instead of ``nonzero``).
+
+    ``dense=True`` refreshes ALL cells every update instead (the warmup
+    path).  On TPU the reference's sparse sampled update is
+    counterproductive: the occupied-cell draw needs a 2M-key sort and the
+    sparse write needs two ~1M-row scatters (~20 ms together), while the
+    extra field evaluations of the dense path ride the MXU (~6 ms) — and
+    every cell refreshes 4x more often than the reference's schedule.
     """
     levels = state.levels
     cells = state.cells_per_lvl
     k_all, k_uni, k_occ, k_eval = jax.random.split(key, 4)
 
     def warmup_update(state: OccGridState) -> OccGridState:
+        # all cells in layout order: the EMA-max is a dense elementwise
+        # update — no scatter needed (scatters cost ~7 ms per 1M rows here)
         all_ids = jnp.broadcast_to(
             jnp.arange(cells, dtype=jnp.int32)[None, :], (levels, cells)
         )
-        occ = _eval_cells(state, all_ids, k_eval, occ_eval_fn)
-        flat = (
-            jnp.arange(levels, dtype=jnp.int32)[:, None] * cells + all_ids
-        ).reshape(-1)
-        visible = jnp.take(state.occs, flat) >= 0.0
-        occs = _ema_update(
-            state.occs, flat, occ.reshape(-1), visible, ema_decay
+        occ = _eval_cells(state, all_ids, k_eval, occ_eval_fn).reshape(-1)
+        visible = state.occs >= 0.0
+        occs = jnp.where(
+            visible, jnp.maximum(state.occs * ema_decay, occ), state.occs
         )
         return dataclasses.replace(state, occs=occs)
 
@@ -250,7 +257,12 @@ def update_occ_grid(
         )
         return dataclasses.replace(state, occs=occs)
 
-    state = jax.lax.cond(step < warmup_steps, warmup_update, sampled_update, state)
+    if dense:
+        state = warmup_update(state)
+    else:
+        state = jax.lax.cond(
+            step < warmup_steps, warmup_update, sampled_update, state
+        )
 
     # Binarize: threshold at min(mean of visible occupancies, occ_thre)
     # (reference: occ_grid.py:403-404).

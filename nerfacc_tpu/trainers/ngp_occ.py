@@ -130,6 +130,10 @@ class NGPOccTrainer:
     # probes fewer gathers; conservative superset of the exact sample set
     # (block-corner candidates may emit sigma=0 samples).  0 = exact.
     fine_probes: int = 3
+    # dense occupancy updates: refresh ALL cells every update_interval steps
+    # (scatter/sort-free — see update_occ_grid docstring) instead of the
+    # reference's 1/4-uniform + 1/4-occupied sampled update
+    dense_occ_update: bool = True
     # dynamic scenes (T-NeRF): condition the field on per-ray timestamps
     # (batches must carry a "timestamps" (n_rays, 1) entry) and feed random
     # frame times into occupancy updates (reference: train_mlp_tnerf.py:128-135)
@@ -244,6 +248,7 @@ class NGPOccTrainer:
                 occ_thre=self.occ_thre,
                 ema_decay=self.ema_decay,
                 warmup_steps=self.warmup_steps,
+                dense=self.dense_occ_update,
             ),
             lambda s: s,
             state.occ_state,
@@ -258,10 +263,13 @@ class NGPOccTrainer:
         max_coarse = max(self.max_samples_per_ray // self.window_size + 32, 64)
         mode = self.traversal if self.windowed else "padded"
         if mode == "pooled":
+            # default pool: budget / (window_size * ~0.6 fine-valid fraction)
+            # — sized so the surviving samples roughly fill the sample budget
+            # without paying fine-phase work on samples the budget drops
             wb = (
                 self.window_budget
                 if self.window_budget is not None
-                else max(self.sample_budget // 4, 1024)
+                else max(self.sample_budget // 5, 1024)
             )
             ws = sampling_pooled(
                 occ_state,

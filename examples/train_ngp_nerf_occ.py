@@ -60,6 +60,17 @@ def main():
         default=8,
         help="steps fused into one device dispatch via lax.scan",
     )
+    parser.add_argument(
+        "--traversal",
+        type=str,
+        default="pooled",
+        choices=["pooled", "windowed", "padded"],
+    )
+    parser.add_argument("--window_budget", type=int, default=None)
+    parser.add_argument("--fine_probes", type=int, default=3)
+    parser.add_argument("--sampled_occ_update", action="store_true",
+                        help="reference-style sampled occupancy update "
+                        "instead of the dense all-cell refresh")
     args = parser.parse_args()
 
     import jax
@@ -141,6 +152,10 @@ def main():
         sample_budget=args.target_sample_batch_size,
         max_samples_per_ray=1024,
         seed=args.seed,
+        traversal=args.traversal,
+        window_budget=args.window_budget,
+        fine_probes=args.fine_probes,
+        dense_occ_update=not args.sampled_occ_update,
         **trainer_kwargs,
     )
     state = trainer.init_state()

@@ -14,11 +14,23 @@ from .estimators.prop_net import (
     PropNetEstimator,
     get_proposal_requires_grad_fn,
 )
+from .estimators.sparse_grid import (
+    N3TreeEstimator,
+    SparseGrid,
+    SparseGridEstimator,
+    VDBEstimator,
+    sparse_grid_from_dense,
+    sparse_grid_from_ijk,
+    traverse_vdbs,
+)
 from .grid import (
     ray_aabb_intersect,
     traverse_grids,
     traverse_grids_padded,
+    traverse_grids_pooled,
+    traverse_grids_voxel,
     TraversalResult,
+    WindowSamples,
 )
 from .losses import distortion
 from .cameras import (
@@ -52,11 +64,21 @@ __all__ = [
     "OccGridEstimator",
     "PropNetEstimator",
     "get_proposal_requires_grad_fn",
+    "SparseGrid",
+    "SparseGridEstimator",
+    "VDBEstimator",
+    "N3TreeEstimator",
+    "sparse_grid_from_dense",
+    "sparse_grid_from_ijk",
+    "traverse_vdbs",
     # grid
     "ray_aabb_intersect",
     "traverse_grids",
     "traverse_grids_padded",
+    "traverse_grids_pooled",
+    "traverse_grids_voxel",
     "TraversalResult",
+    "WindowSamples",
     # losses
     "distortion",
     # cameras

@@ -223,11 +223,38 @@ class PropNetEstimator(AbstractEstimator):
     sampling and caches the proposal CDFs for eager (non-jit) use.
     """
 
-    def __init__(self, optimizer=None, scheduler=None, seed: int = 0) -> None:
+    def __init__(
+        self,
+        optimizer=None,
+        scheduler=None,
+        seed: int = 0,
+        params=None,
+        sigma_fns_builder: Optional[Callable] = None,
+    ) -> None:
+        """Args:
+            optimizer: optax gradient transform for the proposal params
+                (the reference passes a torch optimizer, prop_net.py:27-34).
+            scheduler: optional optax schedule — already baked into optax
+                optimizers; accepted for signature parity and ignored.
+            params: proposal-network parameter pytree (required for
+                ``update_every_n_steps`` to take gradient steps).
+            sigma_fns_builder: ``params -> [sigma_fn, ...]`` rebuilding the
+                per-level density closures from parameters.  JAX has no
+                retained autograd tape, so the estimator re-traces sampling
+                under ``jax.grad`` using this builder.
+        """
         super().__init__()
         self.optimizer = optimizer
         self.scheduler = scheduler
+        self.params = params
+        self.opt_state = (
+            optimizer.init(params)
+            if (optimizer is not None and params is not None)
+            else None
+        )
+        self.sigma_fns_builder = sigma_fns_builder
         self.prop_cache: List = []
+        self._sampling_args = None
         self._key = jax.random.PRNGKey(seed)
 
     def _next_key(self) -> jax.Array:
@@ -236,17 +263,26 @@ class PropNetEstimator(AbstractEstimator):
 
     def sampling(
         self,
-        prop_sigma_fns: Sequence[Callable],
-        prop_samples: Sequence[int],
-        num_samples: int,
-        n_rays: int,
-        near_plane: float,
-        far_plane: float,
+        prop_sigma_fns: Optional[Sequence[Callable]] = None,
+        prop_samples: Sequence[int] = (),
+        num_samples: int = 32,
+        n_rays: int = 0,
+        near_plane: float = 0.0,
+        far_plane: float = 1e10,
         sampling_type: str = "lindisp",
         stratified: bool = False,
         requires_grad: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Sampling with proposal-network CDFs (reference: prop_net.py:37-129)."""
+        """Sampling with proposal-network CDFs (reference: prop_net.py:37-129).
+
+        ``prop_sigma_fns=None`` uses ``sigma_fns_builder(self.params)`` so a
+        later :meth:`update_every_n_steps` can differentiate through the
+        sampling (JAX keeps no tape; the estimator re-traces instead).
+        """
+        if prop_sigma_fns is None:
+            assert self.sigma_fns_builder is not None and self.params is not None
+            prop_sigma_fns = self.sigma_fns_builder(self.params)
+        key = self._next_key() if stratified else None
         t_starts, t_ends, cache = propnet_sampling(
             prop_sigma_fns,
             prop_samples,
@@ -257,10 +293,20 @@ class PropNetEstimator(AbstractEstimator):
             sampling_type,
             stratified,
             requires_grad,
-            key=self._next_key() if stratified else None,
+            key=key,
         )
         if requires_grad:
             self.prop_cache = list(cache)
+            self._sampling_args = dict(
+                prop_samples=list(prop_samples),
+                num_samples=num_samples,
+                n_rays=n_rays,
+                near_plane=near_plane,
+                far_plane=far_plane,
+                sampling_type=sampling_type,
+                stratified=stratified,
+                key=key,
+            )
         return t_starts, t_ends
 
     def compute_loss(self, trans: jnp.ndarray, loss_scaler: float = 1.0):
@@ -270,6 +316,62 @@ class PropNetEstimator(AbstractEstimator):
         loss = propnet_loss(self.prop_cache, trans, loss_scaler)
         self.prop_cache = []
         return loss
+
+    def update_every_n_steps(
+        self,
+        trans: jnp.ndarray,
+        requires_grad: bool = False,
+        loss_scaler: float = 1.0,
+    ) -> float:
+        """Interlevel loss + one optimizer step on the proposal networks.
+
+        (reference: prop_net.py:156-193 — loss from the cached CDFs, then
+        zero_grad/backward/step on the estimator's own optimizer.)  Needs
+        ``optimizer``/``params``/``sigma_fns_builder`` from the constructor;
+        without them this degenerates to :meth:`compute_loss` (loss value,
+        no parameter update), mirroring ``requires_grad=False``.
+        """
+        if not requires_grad:
+            self.prop_cache = []
+            return 0.0
+        can_step = (
+            self.optimizer is not None
+            and self.params is not None
+            and self.sigma_fns_builder is not None
+            and self._sampling_args is not None
+        )
+        if not can_step:
+            return float(self.compute_loss(trans, loss_scaler))
+
+        import optax
+
+        args = self._sampling_args
+        trans = jax.lax.stop_gradient(trans)
+
+        def loss_fn(params):
+            fns = self.sigma_fns_builder(params)
+            _, _, cache = propnet_sampling(
+                fns,
+                args["prop_samples"],
+                args["num_samples"],
+                args["n_rays"],
+                args["near_plane"],
+                args["far_plane"],
+                args["sampling_type"],
+                args["stratified"],
+                requires_grad=True,
+                key=args["key"],
+            )
+            return propnet_loss(cache, trans, loss_scaler)
+
+        loss, grads = jax.value_and_grad(loss_fn)(self.params)
+        updates, self.opt_state = self.optimizer.update(
+            grads, self.opt_state, self.params
+        )
+        self.params = optax.apply_updates(self.params, updates)
+        self.prop_cache = []
+        self._sampling_args = None
+        return float(loss)
 
     def state_dict(self):
         return {}

@@ -974,6 +974,122 @@ def traverse_grids_padded(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("max_edges",))
+def traverse_grids_voxel(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    binaries: jnp.ndarray,
+    aabbs: jnp.ndarray,
+    near_planes: Optional[jnp.ndarray] = None,
+    far_planes: Optional[jnp.ndarray] = None,
+    max_edges: int = 1024,
+    rays_mask: Optional[jnp.ndarray] = None,
+) -> TraversalResult:
+    """Per-voxel-interval traversal: the reference's ``step_size <= 0`` mode
+    (grid.cu:104-107, 218-245 — one interval per voxel crossing).
+
+    TPU formulation: the voxel-boundary crossing times of a ray are the
+    union of three arithmetic progressions per grid level (one per axis,
+    spacing ``voxel_size / |d|``), plus the grid-segment entry/exit times.
+    Generate them all in parallel, sort per ray, and emit the interval
+    between consecutive edges iff its midpoint lies in an occupied voxel of
+    its segment's level.  No sequential DDA anywhere.
+
+    Returns a :class:`TraversalResult` with ``(n_rays, max_edges - 1)``
+    ragged-edge intervals (``t_starts[k] = edge[k]``, ``t_ends[k] =
+    edge[k+1]``; unlike the uniform lattice, edges are irregular).
+    """
+    n_rays = rays_o.shape[0]
+    dtype = rays_o.dtype
+    m = binaries.shape[0]
+    if near_planes is None:
+        near_planes = jnp.zeros((n_rays,), dtype)
+    if far_planes is None:
+        far_planes = jnp.full((n_rays,), jnp.inf, dtype)
+
+    t_mins, t_maxs, hits = ray_aabb_intersect(rays_o, rays_d, aabbs)
+    t_cat = jnp.concatenate([t_mins, t_maxs], axis=-1)
+    t_indices = jnp.argsort(t_cat, axis=-1, stable=True)
+    t_sorted = jnp.take_along_axis(t_cat, t_indices, axis=-1)
+    seg_lo, seg_hi, seg_level, seg_valid = _grid_segments(
+        t_sorted, t_indices, hits, near_planes, far_planes
+    )
+    n_segments = seg_lo.shape[-1]
+
+    t_enter = jnp.min(jnp.where(seg_valid, seg_lo, jnp.inf), axis=-1)
+    t_exit = jnp.max(jnp.where(seg_valid, seg_hi, -jnp.inf), axis=-1)
+    has_seg = jnp.any(seg_valid, axis=-1)
+    t_enter = jnp.where(has_seg, t_enter, 0.0)
+    t_exit = jnp.where(has_seg, t_exit, 0.0)
+
+    # Candidate edges: per (level, axis) arithmetic progressions of plane
+    # crossings starting at the first plane after t_enter.
+    res = jnp.asarray(binaries.shape[1:], dtype=dtype)  # (3,)
+    k_per = max((max_edges - 2 * n_segments) // (3 * m), 1)
+    seqs = []
+    for l in range(m):
+        lo_l = aabbs[l, :3]
+        hi_l = aabbs[l, 3:]
+        vox = (hi_l - lo_l) / res  # (3,)
+        for a in range(3):
+            d_a = rays_d[:, a]
+            o_a = rays_o[:, a]
+            inv = 1.0 / jnp.where(jnp.abs(d_a) < 1e-12, 1e-12, d_a)
+            delta = jnp.abs(vox[a] * inv)  # (n,)
+            # plane index at t_enter, then walk outward in +t
+            x_enter = o_a + t_enter * d_a
+            i_enter = (x_enter - lo_l[a]) / vox[a]
+            # first crossing strictly after t_enter
+            next_plane = jnp.where(d_a >= 0, jnp.ceil(i_enter), jnp.floor(i_enter))
+            t_first = (lo_l[a] + next_plane * vox[a] - o_a) * inv
+            t_first = jnp.where(
+                t_first <= t_enter, t_first + delta, t_first
+            )
+            ks = jnp.arange(k_per, dtype=dtype)[None, :]
+            seqs.append(t_first[:, None] + ks * delta[:, None])
+    # segment entry/exit edges
+    seqs.append(jnp.where(seg_valid, seg_lo, jnp.inf))
+    seqs.append(jnp.where(seg_valid, seg_hi, jnp.inf))
+    edges = jnp.concatenate(seqs, axis=-1)
+    # out-of-range edges pushed to +inf so they sort to the back
+    edges = jnp.where((edges >= t_enter[:, None]) & (edges <= t_exit[:, None]),
+                      edges, jnp.inf)
+    edges = jnp.sort(edges, axis=-1)
+    E = min(max_edges, edges.shape[-1])
+    edges = edges[:, :E]
+
+    t0 = edges[:, :-1]
+    t1 = edges[:, 1:]
+    t_mids = 0.5 * (t0 + t1)
+    finite = jnp.isfinite(t_mids) & (t1 - t0 > 1e-9)
+
+    inside_any = jnp.zeros(t_mids.shape, dtype=bool)
+    level = jnp.zeros(t_mids.shape, dtype=jnp.int32)
+    for j in range(n_segments):
+        inside_j = (
+            seg_valid[:, j : j + 1]
+            & (t_mids >= seg_lo[:, j : j + 1])
+            & (t_mids < seg_hi[:, j : j + 1])
+        )
+        inside_any = inside_any | inside_j
+        level = jnp.where(inside_j, seg_level[:, j : j + 1], level)
+
+    safe_mids = jnp.where(finite, t_mids, 0.0)
+    pos = rays_o[:, None, :] + safe_mids[..., None] * rays_d[:, None, :]
+    occupied = _occupancy_lookup(pos, level, binaries, aabbs)
+    valid = finite & inside_any & occupied
+    if rays_mask is not None:
+        valid = valid & rays_mask[:, None]
+
+    termination_planes = jnp.where(has_seg, t_exit, near_planes)
+    terminated = jnp.ones((n_rays,), bool)
+    safe_t0 = jnp.where(jnp.isfinite(t0), t0, 0.0)
+    safe_t1 = jnp.where(jnp.isfinite(t1), t1, 0.0)
+    return TraversalResult(
+        safe_t0, safe_t1, valid, termination_planes, terminated
+    )
+
+
 def traverse_grids(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
@@ -1000,19 +1116,37 @@ def traverse_grids(
     # The reference enforces the per-ray step cap in BOTH modes
     # (grid.cu:184,208): apply it whenever the caller passes one.
     limit = traverse_steps_limit
-    res = traverse_grids_padded(
-        rays_o,
-        rays_d,
-        binaries,
-        aabbs,
-        near_planes,
-        far_planes,
-        step_size=step_size,
-        cone_angle=cone_angle,
-        max_samples=max_samples,
-        rays_mask=rays_mask,
-        valid_samples_limit=limit,
-    )
+    if step_size <= 0.0:
+        # one interval per voxel crossing (reference grid.cu:104-107)
+        res = traverse_grids_voxel(
+            rays_o,
+            rays_d,
+            binaries,
+            aabbs,
+            near_planes,
+            far_planes,
+            max_edges=max_samples + 1,
+            rays_mask=rays_mask,
+        )
+        if limit is not None:
+            n_before = jnp.cumsum(res.valid.astype(jnp.int32), axis=-1) - (
+                res.valid.astype(jnp.int32)
+            )
+            res = res._replace(valid=res.valid & (n_before < limit))
+    else:
+        res = traverse_grids_padded(
+            rays_o,
+            rays_d,
+            binaries,
+            aabbs,
+            near_planes,
+            far_planes,
+            step_size=step_size,
+            cone_angle=cone_angle,
+            max_samples=max_samples,
+            rays_mask=rays_mask,
+            valid_samples_limit=limit,
+        )
     n_rays, K = res.valid.shape
     pad_false = jnp.zeros((n_rays, 1), dtype=bool)
     is_left = jnp.concatenate([res.valid, pad_false], axis=-1)

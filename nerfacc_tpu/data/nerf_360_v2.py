@@ -156,9 +156,12 @@ class SubjectLoader:
         images_meta = _read_images_bin(os.path.join(sparse, "images.bin"))
 
         cam = cameras[list(cameras.keys())[0]]
+        # COLMAP intrinsics layouts: single-focal models (SIMPLE_PINHOLE=0,
+        # SIMPLE_RADIAL=2, RADIAL=3) are (f, cx, cy, ...); two-focal models
+        # (PINHOLE=1, OPENCV=4, ...) are (fx, fy, cx, cy, ...).
         fx, fy, cx, cy = (
             (cam["params"][0], cam["params"][0], cam["params"][1], cam["params"][2])
-            if cam["model"] in (0, 1)  # SIMPLE_PINHOLE / PINHOLE share fx
+            if cam["model"] in (0, 2, 3)
             else (cam["params"][0], cam["params"][1], cam["params"][2], cam["params"][3])
         )
         self.K = np.array(

@@ -3,7 +3,11 @@ from .encoders import (
     SinusoidalEncoder,
     spherical_harmonics_16,
 )
-from .mlp import VanillaNeRFRadianceField, TNeRFRadianceField
+from .mlp import (
+    NDRTNeRFRadianceField,
+    TNeRFRadianceField,
+    VanillaNeRFRadianceField,
+)
 from .ngp import NGPDensityField, NGPRadianceField, contract_to_unisphere, trunc_exp
 
 __all__ = [
@@ -12,6 +16,7 @@ __all__ = [
     "spherical_harmonics_16",
     "VanillaNeRFRadianceField",
     "TNeRFRadianceField",
+    "NDRTNeRFRadianceField",
     "NGPDensityField",
     "NGPRadianceField",
     "contract_to_unisphere",

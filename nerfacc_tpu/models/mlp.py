@@ -328,3 +328,136 @@ class TNeRFRadianceField:
     ):
         x = self._warped(params, x, t)
         return self.nerf(params["nerf"], x, condition=condition)
+
+
+@dataclasses.dataclass(frozen=True)
+class NDRTNeRFRadianceField:
+    """Dynamic-scene field with an INVERTIBLE deformation network
+    (reference: mlp.py:286-395, after https://arxiv.org/pdf/2206.15258.pdf).
+
+    The warp is three coupled real-NVP-style blocks; each block updates the
+    third coordinate additively from the other two, then rigidly moves the
+    first two by a time-conditioned 2-D rotation+translation — both steps are
+    exactly invertible, so the deformation cannot collapse space.  Axes are
+    cyclically permuted between blocks.
+    """
+
+    compute_dtype: Any = None
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "time_encoder", SinusoidalEncoder(1, 0, 4, True)
+        )
+        object.__setattr__(
+            self, "posi_encoder_1", SinusoidalEncoder(2, 0, 4, True)
+        )
+        object.__setattr__(
+            self, "posi_encoder_2", SinusoidalEncoder(1, 0, 4, True)
+        )
+        object.__setattr__(
+            self,
+            "warp1",
+            MLP(
+                input_dim=self.posi_encoder_1.latent_dim + 64,
+                output_dim=1,
+                net_depth=2,
+                net_width=128,
+                skip_layer=None,
+                output_init_scale=1e-4,
+                compute_dtype=self.compute_dtype,
+            ),
+        )
+        object.__setattr__(
+            self,
+            "warp2",
+            MLP(
+                input_dim=self.posi_encoder_2.latent_dim + 64,
+                output_dim=1 + 2,
+                net_depth=1,
+                net_width=128,
+                skip_layer=None,
+                output_init_scale=1e-4,
+                compute_dtype=self.compute_dtype,
+            ),
+        )
+        object.__setattr__(
+            self,
+            "nerf",
+            VanillaNeRFRadianceField(compute_dtype=self.compute_dtype),
+        )
+
+    def init(self, key: jax.Array) -> Dict:
+        keys = jax.random.split(key, 13)
+        t_lat = self.time_encoder.latent_dim
+        return {
+            "warp1": [self.warp1.init(keys[i]) for i in range(3)],
+            "warp2": [self.warp2.init(keys[3 + i]) for i in range(3)],
+            "time1": [
+                _linear_init(keys[6 + i], t_lat, 64) for i in range(3)
+            ],
+            "time2": [
+                _linear_init(keys[9 + i], t_lat, 64) for i in range(3)
+            ],
+            "nerf": self.nerf.init(keys[12]),
+        }
+
+    def _warp_block(self, params, x, t_enc, i):
+        uv, w = x[:, :2], x[:, 2:]
+        # additive coupling on the third coordinate
+        tfeat1 = _linear(params["time1"][i], t_enc, self.compute_dtype)
+        dw = self.warp1(
+            params["warp1"][i],
+            jnp.concatenate([self.posi_encoder_1(uv), tfeat1], axis=-1),
+        )
+        w = w + dw
+        # time+depth conditioned inverse 2-D rigid motion on the other two
+        tfeat2 = _linear(params["time2"][i], t_enc, self.compute_dtype)
+        rt = self.warp2(
+            params["warp2"][i],
+            jnp.concatenate([self.posi_encoder_2(w), tfeat2], axis=-1),
+        )
+        theta = rt[:, 0]
+        tr = rt[:, 1:]
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        p = uv - tr
+        uv = jnp.stack(
+            [c * p[:, 0] - s * p[:, 1], s * p[:, 0] + c * p[:, 1]], axis=-1
+        )
+        return jnp.concatenate([uv, w], axis=-1)
+
+    def warp(self, params: Dict, x: jnp.ndarray, t: jnp.ndarray):
+        t_enc = self.time_encoder(t)
+        x = self._warp_block(params, x, t_enc, 0)
+        x = x[..., jnp.array([1, 2, 0])]
+        x = self._warp_block(params, x, t_enc, 1)
+        x = x[..., jnp.array([2, 0, 1])]
+        x = self._warp_block(params, x, t_enc, 2)
+        return x
+
+    def query_opacity(
+        self,
+        params: Dict,
+        x: jnp.ndarray,
+        timestamps: jnp.ndarray,
+        step_size: float,
+        key: jax.Array,
+    ) -> jnp.ndarray:
+        idxs = jax.random.randint(key, (x.shape[0],), 0, timestamps.shape[0])
+        t = timestamps[idxs]
+        return self.query_density(params, x, t) * step_size
+
+    def query_density(
+        self, params: Dict, x: jnp.ndarray, t: jnp.ndarray
+    ) -> jnp.ndarray:
+        x = self.warp(params, x, t)
+        return self.nerf.query_density(params["nerf"], x)
+
+    def __call__(
+        self,
+        params: Dict,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        condition: Optional[jnp.ndarray] = None,
+    ):
+        x = self.warp(params, x, t)
+        return self.nerf(params["nerf"], x, condition=condition)

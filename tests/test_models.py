@@ -116,3 +116,54 @@ def test_vanilla_and_tnerf_fields():
     # at init the warp is near-identity (output_init_scale=1e-4)
     warped = tfield._warped(tp, x, t)
     np.testing.assert_allclose(np.asarray(warped), np.asarray(x), atol=0.05)
+
+
+def test_ndrt_field_invertible_warp_and_density():
+    """NDRT field (reference mlp.py:286-395): forward shapes, time
+    dependence, and exact invertibility of each warp block."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfacc_tpu.models import NDRTNeRFRadianceField
+
+    field = NDRTNeRFRadianceField()
+    params = field.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(32, 3)) * 0.5, jnp.float32)
+    t = jnp.asarray(rng.random((32, 1)), jnp.float32)
+    dirs = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    rgb, density = field(params, x, t, condition=dirs)
+    assert rgb.shape == (32, 3) and density.shape == (32, 1)
+    assert np.all(np.asarray(density) >= 0)
+
+    # time-dependent: different t -> different warp (densities differ
+    # somewhere once params are non-trivial)
+    d2 = field.query_density(params, x, t + 0.3)
+    assert not np.allclose(np.asarray(density), np.asarray(d2), atol=0)
+
+    # invertibility of one block: reconstruct uv from the output
+    t_enc = field.time_encoder(t)
+    y = field._warp_block(params, x, t_enc, 0)
+    # invert: w' = y[:,2:]; rt from w' matches forward's rt; undo rotation
+    from nerfacc_tpu.models.mlp import _linear
+    tfeat2 = _linear(params["time2"][0], t_enc, None)
+    rt = field.warp2(
+        params["warp2"][0],
+        jnp.concatenate([field.posi_encoder_2(y[:, 2:]), tfeat2], -1))
+    theta, tr = rt[:, 0], rt[:, 1:]
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    uv = y[:, :2]
+    # forward did uv' = R(theta) @ (uv - tr) with R = [[c,-s],[s,c]]
+    undo = jnp.stack(
+        [c * uv[:, 0] + s * uv[:, 1], -s * uv[:, 0] + c * uv[:, 1]], -1
+    ) + tr
+    np.testing.assert_allclose(np.asarray(undo), np.asarray(x[:, :2]),
+                               atol=1e-5)
+
+    # query_opacity draws random frame times
+    ts_all = jnp.asarray([[0.0], [0.5], [1.0]])
+    op = field.query_opacity(params, x, ts_all, 5e-3, jax.random.PRNGKey(1))
+    assert op.shape == (32, 1)

@@ -169,6 +169,7 @@ def main():
     samples_done = 0
     M = max(1, args.steps_per_call)
     step = 0
+    trunc_ema = 0.0
     while step <= args.max_steps:
         datas = [
             train_dataset[int(rng.integers(0, len(train_dataset)))]
@@ -189,6 +190,20 @@ def main():
                 num_rays * (args.target_sample_batch_size / float(n_total))
             )
             train_dataset.update_num_rays(round_to_bucket(num_rays, buckets))
+
+        # Cliff guard: a persistently high truncated-ray fraction means the
+        # traversal budget (window pool / per-ray windows / sample budget) is
+        # too small for the scene — quality degrades silently otherwise
+        # (reference analog: traverse_steps_limit semantics, grid.cu:184,208).
+        n_trunc = int(np.asarray(auxs["n_rays_truncated"])[-1])
+        frac_trunc = n_trunc / max(len(datas[0]["rgb"]), 1)
+        trunc_ema = 0.9 * trunc_ema + 0.1 * frac_trunc if step > M else frac_trunc
+        if trunc_ema > 0.5 and step % (args.log_every) < M and step > 500:
+            print(
+                f"WARNING: {trunc_ema:.0%} of rays are budget-truncated "
+                f"(step {step}). Raise --window_budget / "
+                f"--target_sample_batch_size or quality will suffer."
+            )
 
         if step % args.log_every < M:
             jax.block_until_ready(state.params)

@@ -156,3 +156,57 @@ def _opencv_lens_distortion_fisheye(
     )
     scale = theta_d / jnp.clip(r, min=eps)
     return uv * scale[..., None]
+
+
+def _opencv_lens_distortion_12(
+    uv: jnp.ndarray, params: jnp.ndarray
+) -> jnp.ndarray:
+    """Forward 12-parameter OpenCV model (k1..k6, p1, p2, s1..s4) — rational
+    radial + tangential + thin-prism terms (reference layout:
+    cuda/csrc/include/utils_camera.cuh:112-135)."""
+    assert params.shape[-1] == 12
+    k1, k2, k3, k4, k5, k6, p1, p2, s1, s2, s3, s4 = jnp.moveaxis(
+        params, -1, 0
+    )
+    x, y = uv[..., 0], uv[..., 1]
+    r2 = x * x + y * y
+    cdist = (1 + ((k3 * r2 + k2) * r2 + k1) * r2) / (
+        1 + ((k6 * r2 + k5) * r2 + k4) * r2
+    )
+    dx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x) + s1 * r2 + s2 * r2 * r2
+    dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y + s3 * r2 + s4 * r2 * r2
+    return jnp.stack([x * cdist + dx, y * cdist + dy], axis=-1)
+
+
+def opencv_lens_undistortion_12(
+    uv: jnp.ndarray, params: jnp.ndarray, iters: int = 20
+) -> jnp.ndarray:
+    """Undistort the 12-parameter OpenCV model by OpenCV's fixed-point
+    iteration (reference: utils_camera.cuh:112-135, dispatched from
+    camera.cu:49-105 — a path the reference's own Python wrapper asserts
+    away; exposed here for completeness).
+
+    Args:
+        uv: (..., 2) distorted normalized coordinates.
+        params: (..., 12) = {k1..k6, p1, p2, s1..s4}.
+    """
+    assert uv.shape[-1] == 2
+    assert params.shape[-1] == 12
+    params = jnp.broadcast_to(params, uv.shape[:-1] + (12,))
+    k1, k2, k3, k4, k5, k6, p1, p2, s1, s2, s3, s4 = jnp.moveaxis(
+        params, -1, 0
+    )
+    u, v = uv[..., 0], uv[..., 1]
+
+    def body(_, xy):
+        x, y = xy
+        r2 = x * x + y * y
+        icdist = (1 + ((k6 * r2 + k5) * r2 + k4) * r2) / (
+            1 + ((k3 * r2 + k2) * r2 + k1) * r2
+        )
+        dx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x) + s1 * r2 + s2 * r2 * r2
+        dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y + s3 * r2 + s4 * r2 * r2
+        return ((u - dx) * icdist, (v - dy) * icdist)
+
+    x, y = jax.lax.fori_loop(0, iters, body, (u, v))
+    return jax.lax.stop_gradient(jnp.stack([x, y], axis=-1))

@@ -126,12 +126,48 @@ def _dispatch(
     return inclusive
 
 
+def _normalize_by_segment_total(
+    out: jnp.ndarray,
+    inputs: jnp.ndarray,
+    packed_info: Optional[jnp.ndarray],
+    indices: Optional[jnp.ndarray],
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    """Divide each element by its segment's total — the reference kernels'
+    ``normalize`` option (cuda/csrc/include/utils_scan.cuh:101-110; never
+    reached from the reference's Python, exposed here for completeness)."""
+    if indices is None and packed_info is None:
+        total = jnp.sum(inputs, axis=-1, keepdims=True)
+        return out / jnp.where(jnp.abs(total) > eps, total, 1.0)
+    incl = _dispatch(inputs, packed_info, indices, "sum", exclusive=False)
+    if indices is not None:
+        flags = _flags_from_indices(indices)
+    else:
+        flags = _flags_from_packed_info(packed_info, inputs.shape[0])
+    # spread each segment's total (its last inclusive value) across the
+    # segment: scatter end values by segment ordinal, gather back per element
+    n = inputs.shape[0]
+    is_end = jnp.concatenate([flags[1:], jnp.ones((1,), bool)])
+    segment_id = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    totals_by_seg = (
+        jnp.zeros((n,), out.dtype)
+        .at[jnp.where(is_end, segment_id, n)]
+        .set(incl, mode="drop")
+    )
+    total = jnp.take(totals_by_seg, jnp.clip(segment_id, 0, n - 1))
+    return out / jnp.where(jnp.abs(total) > eps, total, 1.0)
+
+
 def inclusive_sum(
     inputs: jnp.ndarray,
     packed_info: Optional[jnp.ndarray] = None,
     indices: Optional[jnp.ndarray] = None,
+    normalize: bool = False,
 ) -> jnp.ndarray:
     """Inclusive sum that supports flattened tensors.
+
+    ``normalize=True`` divides every element by its segment's total (the
+    reference CUDA kernels' option, utils_scan.cuh:101-110).
 
     Equivalent to ``jnp.cumsum(inputs, axis=-1)`` for batched inputs; for a
     flattened tensor, segments are given by ``packed_info`` or ``indices``
@@ -144,15 +180,21 @@ def inclusive_sum(
         >>> inclusive_sum(inputs, packed_info)
         [ 1.,  3.,  3.,  7., 12.,  6., 13., 21., 30.]
     """
-    return _dispatch(inputs, packed_info, indices, "sum", exclusive=False)
+    out = _dispatch(inputs, packed_info, indices, "sum", exclusive=False)
+    if normalize:
+        out = _normalize_by_segment_total(out, inputs, packed_info, indices)
+    return out
 
 
 def exclusive_sum(
     inputs: jnp.ndarray,
     packed_info: Optional[jnp.ndarray] = None,
     indices: Optional[jnp.ndarray] = None,
+    normalize: bool = False,
 ) -> jnp.ndarray:
     """Exclusive sum that supports flattened tensors.
+
+    ``normalize=True`` divides by the segment total (see inclusive_sum).
 
     (reference: nerfacc/scan.py:80-145)
 
@@ -161,7 +203,10 @@ def exclusive_sum(
         >>> exclusive_sum(inputs, packed_info)
         [ 0.,  1.,  0.,  3.,  7.,  0.,  6., 13., 21.]
     """
-    return _dispatch(inputs, packed_info, indices, "sum", exclusive=True)
+    out = _dispatch(inputs, packed_info, indices, "sum", exclusive=True)
+    if normalize:
+        out = _normalize_by_segment_total(out, inputs, packed_info, indices)
+    return out
 
 
 def inclusive_prod(

@@ -51,3 +51,25 @@ def test_opencv_lens_undistortion_fisheye_roundtrip():
     x_d = _opencv_lens_distortion_fisheye(x, params)
     x_rec = opencv_lens_undistortion_fisheye(x_d, params, 1e-10, 20)
     np.testing.assert_allclose(x_rec, x, atol=1e-5)
+
+
+def test_opencv_12param_round_trip():
+    """12-parameter model: distort(undistort(x)) == x (reference path
+    camera.cu:49-105, dead from the reference's Python — live here)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from nerfacc_tpu.cameras import (
+        _opencv_lens_distortion_12,
+        opencv_lens_undistortion_12,
+    )
+
+    rng = np.random.default_rng(0)
+    uv = jnp.asarray(rng.uniform(-0.4, 0.4, (128, 2)).astype(np.float32))
+    params = jnp.asarray(
+        [1e-2, -2e-3, 1e-4, 5e-3, -1e-3, 1e-4, 1e-3, -5e-4,
+         2e-4, -1e-4, 1e-4, 5e-5], jnp.float32)
+    distorted = _opencv_lens_distortion_12(uv, params)
+    restored = opencv_lens_undistortion_12(distorted, params)
+    np.testing.assert_allclose(np.asarray(restored), np.asarray(uv),
+                               atol=1e-5)

@@ -107,3 +107,30 @@ def test_empty_and_single_chunks():
     np.testing.assert_allclose(
         exclusive_prod(flat, packed), [1.0, 1.0, 3.0], rtol=1e-6
     )
+
+
+def test_normalize_option():
+    """normalize=True divides by the segment total (reference kernel option
+    utils_scan.cuh:101-110, unreachable from the reference's Python)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfacc_tpu.scan import exclusive_sum, inclusive_sum
+
+    inputs = jnp.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0])
+    packed_info = jnp.array([[0, 2], [2, 3], [5, 4]])
+    incl = inclusive_sum(inputs, packed_info, normalize=True)
+    want = np.array([1 / 3, 1.0, 3 / 12, 7 / 12, 1.0, 6 / 30, 13 / 30,
+                     21 / 30, 1.0])
+    np.testing.assert_allclose(np.asarray(incl), want, atol=1e-6)
+
+    ids = jnp.array([0, 0, 1, 1, 1, 2, 2, 2, 2])
+    excl = exclusive_sum(inputs, indices=ids, normalize=True)
+    want_e = np.array([0, 1 / 3, 0, 3 / 12, 7 / 12, 0, 6 / 30, 13 / 30,
+                       21 / 30])
+    np.testing.assert_allclose(np.asarray(excl), want_e, atol=1e-6)
+
+    # batched layout
+    b = inclusive_sum(inputs.reshape(3, 3), normalize=True)
+    np.testing.assert_allclose(
+        np.asarray(b)[:, -1], [1.0, 1.0, 1.0], atol=1e-6)

@@ -67,7 +67,16 @@ def make_dp_train_step(trainer, mesh: Mesh, axis_name: str = "data"):
     leaves are globally-shaped with the ray axis sharded (see
     :func:`shard_batch`); aux totals are summed over the mesh.
     """
-    from jax.experimental.shard_map import shard_map
+    try:  # jax >= 0.8 promotes shard_map out of experimental
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+            return _shard_map(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=check_rep,
+            )
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     body = functools.partial(trainer._step_body, axis_name=axis_name)
     cache: Dict[Tuple[str, ...], Any] = {}

@@ -291,8 +291,16 @@ class NGPOccTrainer:
             )
             terminated = ws.terminated
             # demand estimate for the batch-size controller: dropped windows
-            # hold up to window_size samples each
-            extra_demand = ws.window_overflow * self.window_size
+            # hold samples at the OBSERVED per-window yield (counting the
+            # full window_size would overestimate ~1.6x and shrink the ray
+            # batch more than the scene requires)
+            windows_used = jnp.maximum(
+                jnp.sum((ws.ray_ids < rays_o.shape[0]).astype(jnp.int32)), 1
+            )
+            yield_per_window = jnp.sum(ws.counts) / windows_used
+            extra_demand = (
+                ws.window_overflow.astype(jnp.float32) * yield_per_window
+            ).astype(jnp.int32)
         else:
             res = sampling_padded(
                 occ_state,

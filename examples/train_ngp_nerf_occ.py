@@ -67,7 +67,7 @@ def main():
         choices=["pooled", "windowed", "padded"],
     )
     parser.add_argument("--window_budget", type=int, default=None)
-    parser.add_argument("--fine_probes", type=int, default=3)
+    parser.add_argument("--fine_probes", type=int, default=4)
     parser.add_argument("--sampled_occ_update", action="store_true",
                         help="reference-style sampled occupancy update "
                         "instead of the dense all-cell refresh")

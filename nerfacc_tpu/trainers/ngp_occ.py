@@ -11,6 +11,7 @@ recompiles).
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
@@ -126,10 +127,13 @@ class NGPOccTrainer:
     # (a window holds up to window_size samples; ~60% are fine-valid on
     # typical scenes, so budget//4 windows can always fill the sample budget)
     window_budget: Optional[int] = None
-    # fine occupancy probes per window for traversal="pooled": ~window_size/
-    # probes fewer gathers; conservative superset of the exact sample set
-    # (block-corner candidates may emit sigma=0 samples).  0 = exact.
-    fine_probes: int = 3
+    # fine occupancy word-fetches per window for traversal="pooled":
+    # ~window_size/probes fewer gathers; exact for windows spanning
+    # <= fine_probes bit-words (run-start probing), tiny conservative
+    # superset beyond.  0 = exact per-candidate gather.  K=4 is the
+    # measured knee: 0.002% false samples (K=3: 0.5%, which trains density
+    # into eval-skipped voxels and costs ~1 dB eval PSNR; K=5: bit-exact).
+    fine_probes: int = 4
     # dense occupancy updates: refresh ALL cells every update_interval steps
     # (scatter/sort-free — see update_occ_grid docstring) instead of the
     # reference's 1/4-uniform + 1/4-occupied sampled update
@@ -148,6 +152,17 @@ class NGPOccTrainer:
     # stratified near-plane jitter (reference: occ_grid.py:162-163); off is
     # only useful for deterministic tests (e.g. DP-vs-single equivalence)
     stratified: bool = True
+    # dynamic sample-buffer sizing: `train_steps` specializes the jitted
+    # step to the smallest budget bucket covering recent observed demand
+    # (with headroom), so the field/compositing never run on the ~20% of
+    # padding slots the static budget wastes at steady state.  Buckets are
+    # multiples of `budget_granularity`; the demand peak decays slowly so
+    # the bucket is sticky (one compile per bucket, reused via the jit
+    # cache).  Semantically identical to the static budget: a transient
+    # demand spike only truncates like any budget overflow would.
+    dynamic_budget: bool = True
+    budget_granularity: int = 32768
+    budget_headroom: float = 1.15
 
     def __post_init__(self):
         self.schedule = make_lr_schedule(
@@ -158,9 +173,18 @@ class NGPOccTrainer:
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=self.adam_eps),
             optax.scale_by_learning_rate(self.schedule),
         )
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
-        self._train_steps = jax.jit(self._train_steps_impl, donate_argnums=(0,))
+        self._train_step = jax.jit(
+            self._train_step_impl, donate_argnums=(0,), static_argnums=(2,)
+        )
+        self._train_steps = jax.jit(
+            self._train_steps_impl, donate_argnums=(0,), static_argnums=(2,)
+        )
         self._render_chunk = jax.jit(self._render_chunk_impl)
+        # host-side demand history for dynamic_budget: max over a short
+        # sliding window (adapts down once the warmup-phase demand spike
+        # leaves the window; bucket granularity absorbs jitter)
+        self._demand_hist = collections.deque(maxlen=8)
+        self._pending_demand = collections.deque()  # not-yet-read aux
 
     def init_state(self) -> TrainState:
         key = jax.random.PRNGKey(self.seed)
@@ -185,11 +209,17 @@ class NGPOccTrainer:
         return self.field(params, positions, dirs)
 
     # -- one fused step ----------------------------------------------------
-    def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple:
-        return self._step_body(state, batch, axis_name=None)
+    def _train_step_impl(
+        self, state: TrainState, batch: Dict, budget: Optional[int] = None
+    ) -> Tuple:
+        return self._step_body(state, batch, axis_name=None, budget=budget)
 
     def _step_body(
-        self, state: TrainState, batch: Dict, axis_name: Optional[str] = None
+        self,
+        state: TrainState,
+        batch: Dict,
+        axis_name: Optional[str] = None,
+        budget: Optional[int] = None,
     ) -> Tuple:
         """The full fused train step.
 
@@ -287,7 +317,7 @@ class NGPOccTrainer:
                 fine_probes=self.fine_probes,
             )
             samples = compact_samples_from_windows(
-                ws, self.sample_budget, rays_o.shape[0]
+                ws, budget or self.sample_budget, rays_o.shape[0]
             )
             terminated = ws.terminated
             # demand estimate for the batch-size controller: dropped windows
@@ -320,7 +350,7 @@ class NGPOccTrainer:
                 window_size=self.window_size,
                 max_coarse=max_coarse,
             )
-            samples = compact_samples(res, self.sample_budget)
+            samples = compact_samples(res, budget or self.sample_budget)
             terminated = res.terminated
             extra_demand = jnp.zeros((), jnp.int32)
 
@@ -417,15 +447,43 @@ class NGPOccTrainer:
         }
         return new_state, aux
 
-    def _train_steps_impl(self, state: TrainState, batches: Dict) -> Tuple:
+    def _train_steps_impl(
+        self, state: TrainState, batches: Dict, budget: Optional[int] = None
+    ) -> Tuple:
         """Run several steps in one ``lax.scan`` — amortizes per-dispatch
         host overhead (~10 ms on a tunneled chip) across the scan length."""
 
         def body(st, b):
-            st, aux = self._train_step_impl(st, b)
+            st, aux = self._train_step_impl(st, b, budget)
             return st, aux
 
         return jax.lax.scan(body, state, batches)
+
+    def _pick_budget(self) -> Optional[int]:
+        """Smallest budget bucket covering recent demand (dynamic_budget)."""
+        if not self.dynamic_budget or not self._demand_hist:
+            return None  # full static budget (also: first call)
+        g = self.budget_granularity
+        want = int(max(self._demand_hist) * self.budget_headroom) + g - 1
+        bucket = min(self.sample_budget, max(g, want // g * g))
+        return None if bucket >= self.sample_budget else bucket
+
+    def _note_demand(self, n_total_samples) -> None:
+        """Record the demand of a dispatched call WITHOUT syncing on it.
+
+        Device values are folded into the host-side history two calls later:
+        reading call N-2 while N-1 is still queued keeps the device fed
+        during the host's dispatch of call N (reading N-1 directly was
+        measured to cost ~3% end-to-end — the device idles for one dispatch
+        latency per call).
+        """
+        self._pending_demand.append(n_total_samples)
+        while len(self._pending_demand) > 2:
+            # np.max on the fetched array — jnp.max would dispatch a (tiny)
+            # device program per call, ~10 ms each over a tunneled link
+            self._demand_hist.append(
+                float(np.max(np.asarray(self._pending_demand.popleft())))
+            )
 
     def train_steps(self, state: TrainState, batches: Dict) -> Tuple:
         """Run ``batches['rgb'].shape[0]`` steps fused into one dispatch.
@@ -433,11 +491,17 @@ class NGPOccTrainer:
         All leaves must be stacked along a leading steps axis.
         """
         batches = {k: jnp.asarray(v) for k, v in batches.items()}
-        return self._train_steps(state, batches)
+        state, aux = self._train_steps(state, batches, self._pick_budget())
+        if self.dynamic_budget:
+            self._note_demand(aux["n_total_samples"])
+        return state, aux
 
     def train_step(self, state: TrainState, batch: Dict) -> Tuple:
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        return self._train_step(state, batch)
+        state, aux = self._train_step(state, batch, self._pick_budget())
+        if self.dynamic_budget:
+            self._note_demand(aux["n_total_samples"])
+        return state, aux
 
     # -- evaluation --------------------------------------------------------
     def _render_chunk_impl(self, params, occ_state, rays_o, rays_d, bkgd, t):

@@ -105,3 +105,40 @@ def test_prop_trainer_step():
         state, aux = trainer.train_step(state, _tiny_batch(sub), rg)
         assert np.isfinite(float(aux["loss"]))
     assert int(state.step) == 3
+
+
+def test_occ_trainer_dynamic_budget_buckets():
+    """dynamic_budget specializes the step to a smaller bucket once demand
+    is observed, without changing training semantics."""
+    trainer = NGPOccTrainer(
+        field=_tiny_field(),
+        aabb=AABB,
+        grid_resolution=16,
+        render_step_size=0.05,
+        sample_budget=8192,
+        max_samples_per_ray=128,
+        warmup_steps=4,
+        update_interval=2,
+        max_steps=100,
+        dynamic_budget=True,
+        budget_granularity=256,
+    )
+    state = trainer.init_state()
+    key = jax.random.PRNGKey(0)
+    # first call runs at the full budget (no demand observed yet)
+    assert trainer._pick_budget() is None
+    buckets = []
+    # enough calls for the warmup-phase (dense grid) demand spike to age
+    # out of the sliding demand window
+    for i in range(16):
+        key, sub = jax.random.split(key)
+        buckets.append(trainer._pick_budget())
+        state, aux = trainer.train_step(state, _tiny_batch(sub))
+        assert np.isfinite(float(aux["loss"]))
+    # demand on the tiny scene (~2.6k samples) is far below 8192: a bucket
+    # must kick in
+    assert buckets[-1] is not None and buckets[-1] < 8192
+    assert buckets[-1] % 256 == 0
+    # the bucket still covers the demand the controller reports
+    assert buckets[-1] >= float(jnp.max(aux["n_total_samples"]))
+    assert int(state.step) == 16

@@ -27,6 +27,9 @@ def main():
     parser.add_argument("--log_every", type=int, default=1000)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--field", type=str, default="cp", choices=["cp", "ngp"])
+    # steps fused into one dispatch (lax.scan) — the ~10 ms tunnel dispatch
+    # otherwise dominates the small per-step compute
+    parser.add_argument("--steps_per_call", type=int, default=32)
     args = parser.parse_args()
 
     import jax
@@ -110,20 +113,36 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     tic = time.time()
-    for step in range(args.max_steps + 1):
-        data = train_dataset[int(rng.integers(0, len(train_dataset)))]
-        requires_grad = requires_grad_fn(step)
-        state, aux = trainer.train_step(state, data, requires_grad)
+    M = max(1, args.steps_per_call)
+    step = 0
+    while step <= args.max_steps:
+        datas = [
+            train_dataset[int(rng.integers(0, len(train_dataset)))]
+            for _ in range(M)
+        ]
+        batches = {
+            k: np.stack([d[k] for d in datas]) for k in datas[0]
+        }
+        rgs = np.array(
+            [requires_grad_fn(step + i) for i in range(M)], bool
+        )
+        state, auxs = trainer.train_steps(state, batches, rgs)
+        step += M
 
-        if step % args.log_every == 0:
+        if (step - M) // args.log_every != step // args.log_every:
             jax.block_until_ready(state.params)
             elapsed = time.time() - tic
-            mse = float(aux["mse"])
+            mse = float(np.asarray(auxs["mse"])[-1])
             psnr = -10.0 * np.log10(max(mse, 1e-10))
+            rate = step * args.batch_size * (
+                trainer.num_samples + sum(trainer.prop_samples)
+            ) / elapsed
             print(
                 f"elapsed_time={elapsed:.2f}s | step={step} | "
-                f"loss={float(aux['loss']):.5f} | psnr={psnr:.2f} | "
-                f"prop_loss={float(aux['prop_loss']):.5f}"
+                f"loss={float(np.asarray(auxs['loss'])[-1]):.5f} | "
+                f"psnr={psnr:.2f} | "
+                f"prop_loss={float(np.asarray(auxs['prop_loss']).max()):.5f} | "
+                f"samples/s={rate:.3g}"
             )
 
     psnr_avg = trainer.eval_psnr(state, test_dataset)

@@ -70,7 +70,13 @@ def _outer(
     )
 
     def row_ss(a, v, side):
-        return jax.vmap(lambda aa, vv: jnp.searchsorted(aa, vv, side=side))(
+        # compare_all: the default "scan" method is a while loop of row
+        # gathers — pathological on TPU (see pdf.py importance_sampling)
+        return jax.vmap(
+            lambda aa, vv: jnp.searchsorted(
+                aa, vv, side=side, method="compare_all"
+            )
+        )(
             a.reshape(-1, a.shape[-1]), v.reshape(-1, v.shape[-1])
         ).reshape(v.shape)
 

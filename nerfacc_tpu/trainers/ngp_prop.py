@@ -75,6 +75,9 @@ class NGPPropTrainer:
             donate_argnums=(0,),
             static_argnames=("requires_grad",),
         )
+        self._train_steps = jax.jit(
+            self._train_steps_impl, donate_argnums=(0,)
+        )
         self._render_chunk = jax.jit(self._render_chunk_impl)
 
     def init_state(self) -> PropTrainState:
@@ -159,7 +162,7 @@ class NGPPropTrainer:
             p_loss = (
                 propnet_loss(cache, extras["trans"], self.prop_loss_scaler)
                 if requires_grad
-                else 0.0
+                else jnp.zeros((), jnp.float32)
             )
             return loss + p_loss, (mse, p_loss)
 
@@ -176,6 +179,35 @@ class NGPPropTrainer:
     def train_step(self, state, batch, requires_grad: bool = False):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         return self._train_step(state, batch, requires_grad=requires_grad)
+
+    def _train_steps_impl(self, state, batches: Dict, requires_grads):
+        """Several steps in one ``lax.scan`` (amortizes the ~10 ms tunnel
+        dispatch; the occ trainer does the same).  ``requires_grads`` is a
+        per-step bool array — the proposal-gradient schedule
+        (reference prop_net.py:196-212) becomes a ``lax.cond`` between the
+        two step graphs, so the fused program serves any schedule."""
+
+        def body(st, xs):
+            b, rg = xs
+            return jax.lax.cond(
+                rg,
+                lambda s, bb: self._train_step_impl(s, bb, True),
+                lambda s, bb: self._train_step_impl(s, bb, False),
+                st,
+                b,
+            )
+
+        return jax.lax.scan(body, state, (batches, requires_grads))
+
+    def train_steps(self, state, batches: Dict, requires_grads):
+        """Run ``len(requires_grads)`` steps fused into one dispatch.
+
+        Batch leaves must be stacked along a leading steps axis.
+        """
+        batches = {k: jnp.asarray(v) for k, v in batches.items()}
+        return self._train_steps(
+            state, batches, jnp.asarray(requires_grads, bool)
+        )
 
     # -- evaluation --------------------------------------------------------
     def _render_chunk_impl(self, params, rays_o, rays_d, bkgd):

@@ -142,3 +142,33 @@ def test_occ_trainer_dynamic_budget_buckets():
     # the bucket still covers the demand the controller reports
     assert buckets[-1] >= float(jnp.max(aux["n_total_samples"]))
     assert int(state.step) == 16
+
+
+def test_prop_trainer_multi_step_scan():
+    """Fused prop steps: the requires_grad schedule rides as a traced
+    per-step flag (lax.cond) and matches per-step results structurally."""
+    field = _tiny_field()
+    props = [CPDensityField(aabb=tuple(AABB), resolutions=(8,), ranks=(4,))]
+    trainer = NGPPropTrainer(
+        field=field,
+        prop_fields=props,
+        prop_samples=[16],
+        num_samples=8,
+        near_plane=1.5,
+        far_plane=3.5,
+        sampling_type="uniform",
+        max_steps=100,
+    )
+    state = trainer.init_state()
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    batches = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[_tiny_batch(k) for k in keys]
+    )
+    rgs = np.array([True, False, False, True])
+    state, auxs = trainer.train_steps(state, batches, rgs)
+    assert auxs["loss"].shape == (4,)
+    assert np.isfinite(np.asarray(auxs["loss"])).all()
+    # prop loss only accrues on requires_grad steps
+    p = np.asarray(auxs["prop_loss"])
+    assert (p[~rgs] == 0.0).all()
+    assert int(state.step) == 4

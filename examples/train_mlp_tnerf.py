@@ -16,7 +16,7 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--data_root", type=str, required=True)
+    parser.add_argument("--data_root", type=str, default=None)
     parser.add_argument("--scene", type=str, default="lego")
     parser.add_argument("--train_split", type=str, default="train")
     parser.add_argument("--max_steps", type=int, default=30000)
@@ -33,21 +33,31 @@ def main():
 
     setup_compilation_cache()
 
-    from nerfacc_tpu.data.dnerf_synthetic import SubjectLoader
     from nerfacc_tpu.models import TNeRFRadianceField
     from nerfacc_tpu.trainers import NGPOccTrainer
 
     aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
-    train_dataset = SubjectLoader(
-        subject_id=args.scene,
-        root_fp=args.data_root,
-        split=args.train_split,
-        num_rays=args.init_batch_size,
-        seed=args.seed,
-    )
-    test_dataset = SubjectLoader(
-        subject_id=args.scene, root_fp=args.data_root, split="test"
-    )
+    if args.data_root is not None:
+        from nerfacc_tpu.data.dnerf_synthetic import SubjectLoader
+
+        train_dataset = SubjectLoader(
+            subject_id=args.scene,
+            root_fp=args.data_root,
+            split=args.train_split,
+            num_rays=args.init_batch_size,
+            seed=args.seed,
+        )
+        test_dataset = SubjectLoader(
+            subject_id=args.scene, root_fp=args.data_root, split="test"
+        )
+    else:
+        # no dataset on disk: time-varying procedural scene (D-NeRF role)
+        from nerfacc_tpu.data import ProceduralDynamicSceneLoader
+
+        train_dataset = ProceduralDynamicSceneLoader(
+            split="train", num_rays=args.init_batch_size, seed=args.seed
+        )
+        test_dataset = ProceduralDynamicSceneLoader(split="test")
 
     field = TNeRFRadianceField()
     trainer = NGPOccTrainer(

@@ -1,4 +1,8 @@
 from .nerf_synthetic import SubjectLoader
-from .procedural import ProceduralSceneLoader
+from .procedural import ProceduralDynamicSceneLoader, ProceduralSceneLoader
 
-__all__ = ["SubjectLoader", "ProceduralSceneLoader"]
+__all__ = [
+    "SubjectLoader",
+    "ProceduralSceneLoader",
+    "ProceduralDynamicSceneLoader",
+]

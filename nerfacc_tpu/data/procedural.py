@@ -206,14 +206,13 @@ class ProceduralSceneLoader:
         )
         return origins.astype(np.float32), viewdirs.astype(np.float32)
 
-    def __getitem__(self, index: int):
+    def _select_pixels(self, index: int):
+        """(image_id array, x, y, color_bkgd) for one batch / test image."""
         if self.training:
             num_rays = self.num_rays
             image_id = self.rng.integers(0, len(self.images), size=(num_rays,))
             x = self.rng.integers(0, self.WIDTH, size=(num_rays,))
             y = self.rng.integers(0, self.HEIGHT, size=(num_rays,))
-            rgba = self.images[image_id, y, x].astype(np.float32) / 255.0
-            origins, viewdirs = self._rays_for_pixels(image_id, x, y)
             if self.color_bkgd_aug == "random":
                 color_bkgd = self.rng.random(3, dtype=np.float32)
             elif self.color_bkgd_aug == "white":
@@ -221,17 +220,18 @@ class ProceduralSceneLoader:
             else:
                 color_bkgd = np.zeros(3, np.float32)
         else:
-            image_id = index
             x, y = np.meshgrid(
                 np.arange(self.WIDTH), np.arange(self.HEIGHT), indexing="xy"
             )
             x, y = x.reshape(-1), y.reshape(-1)
-            rgba = self.images[image_id, y, x].astype(np.float32) / 255.0
-            origins, viewdirs = self._rays_for_pixels(
-                np.full_like(x, image_id), x, y
-            )
+            image_id = np.full_like(x, index)
             color_bkgd = np.ones(3, np.float32)
+        return image_id, x, y, color_bkgd
 
+    def __getitem__(self, index: int):
+        image_id, x, y, color_bkgd = self._select_pixels(index)
+        rgba = self.images[image_id, y, x].astype(np.float32) / 255.0
+        origins, viewdirs = self._rays_for_pixels(image_id, x, y)
         pixels, alpha = rgba[..., :3], rgba[..., 3:]
         pixels = pixels * alpha + color_bkgd * (1.0 - alpha)
         return {
@@ -239,4 +239,108 @@ class ProceduralSceneLoader:
             "rays_o": origins,
             "rays_d": viewdirs,
             "color_bkgd": color_bkgd,
+        }
+
+
+class ProceduralDynamicSceneLoader(ProceduralSceneLoader):
+    """Time-varying analytic scene — the D-NeRF-role fallback dataset.
+
+    Blobs oscillate along fixed per-blob directions; view ``i`` is captured
+    at timestamp ``i / (n_views - 1)`` (dnerf_synthetic convention: one
+    frame per time).  Adds per-ray ``timestamps`` to every batch, matching
+    ``data/dnerf_synthetic.py`` (reference:
+    examples/datasets/dnerf_synthetic.py:34-57,230-235).
+    """
+
+    def __init__(self, *args, motion_amp: float = 0.25, **kwargs):
+        # motion parameters must exist before the base __init__ renders GT
+        num_blobs = kwargs.get("num_blobs", 24)
+        mrng = np.random.default_rng(4321)  # fixed across seeds, like the scene
+        dirs = mrng.normal(size=(num_blobs, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        self.motion_dirs = jnp.asarray(dirs, jnp.float32)
+        self.motion_phase = jnp.asarray(
+            mrng.uniform(0.0, 2 * np.pi, (num_blobs,)), jnp.float32
+        )
+        self.motion_amp = float(motion_amp)
+        split = kwargs.get("split", args[0] if args else "train")
+        n = kwargs.get("n_train", 24) if split == "train" else kwargs.get("n_test", 4)
+        self.view_times = np.linspace(0.0, 1.0, max(n, 2))[:n].astype(np.float32)
+        super().__init__(*args, **kwargs)
+        self.timestamps = jnp.asarray(self.view_times[:, None])
+
+    def _centers_at(self, t) -> jnp.ndarray:
+        osc = jnp.sin(2 * jnp.pi * t + self.motion_phase)[:, None]
+        return self.blob_centers + self.motion_amp * osc * self.motion_dirs
+
+    def query_density_t(self, x: jnp.ndarray, t) -> jnp.ndarray:
+        centers = self._centers_at(t)
+        d2 = jnp.sum((x[:, None, :] - centers[None]) ** 2, axis=-1)
+        contrib = self.blob_density * jnp.exp(-0.5 * d2 / self.blob_scales**2)
+        return jnp.sum(contrib, axis=-1, keepdims=True)
+
+    def query_rgb_t(self, x: jnp.ndarray, t) -> jnp.ndarray:
+        centers = self._centers_at(t)
+        d2 = jnp.sum((x[:, None, :] - centers[None]) ** 2, axis=-1)
+        w = self.blob_density * jnp.exp(-0.5 * d2 / self.blob_scales**2)
+        w = w / jnp.clip(jnp.sum(w, axis=-1, keepdims=True), min=1e-8)
+        return w @ self.blob_colors
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _render_rays_gt_t(self, rays_o, rays_d, t):
+        n = self._gt_samples
+        tt = jnp.linspace(self.NEAR, self.FAR, n + 1)
+        t0, t1 = tt[:-1], tt[1:]
+        tm = 0.5 * (t0 + t1)
+        pos = rays_o[:, None, :] + tm[None, :, None] * rays_d[:, None, :]
+        flat = pos.reshape(-1, 3)
+        sigma = self.query_density_t(flat, t).reshape(pos.shape[:2])
+        rgb = self.query_rgb_t(flat, t).reshape(pos.shape[:2] + (3,))
+        dt = (t1 - t0)[None, :]
+        alpha = 1.0 - jnp.exp(-sigma * dt)
+        trans = jnp.exp(-jnp.cumsum(sigma * dt, axis=-1) + sigma * dt)
+        weights = trans * alpha
+        color = jnp.sum(weights[..., None] * rgb, axis=1)
+        opacity = jnp.sum(weights, axis=1, keepdims=True)
+        return color, opacity
+
+    def _render_gt_images(self) -> np.ndarray:
+        imgs = []
+        x, y = np.meshgrid(
+            np.arange(self.WIDTH), np.arange(self.HEIGHT), indexing="xy"
+        )
+        x, y = x.reshape(-1), y.reshape(-1)
+        for i in range(len(self.camtoworlds)):
+            o, d = self._rays_for_pixels(np.full_like(x, i), x, y)
+            t = jnp.asarray(self.view_times[i])
+            colors, opacities = [], []
+            chunk = 65536
+            for s in range(0, len(x), chunk):
+                c, a = self._render_rays_gt_t(
+                    jnp.asarray(o[s : s + chunk]),
+                    jnp.asarray(d[s : s + chunk]),
+                    t,
+                )
+                colors.append(np.asarray(c))
+                opacities.append(np.asarray(a))
+            rgba = np.concatenate(
+                [np.concatenate(colors), np.concatenate(opacities)], axis=-1
+            )
+            imgs.append(
+                (rgba.reshape(self.HEIGHT, self.WIDTH, 4) * 255).clip(0, 255)
+            )
+        return np.stack(imgs).astype(np.uint8)
+
+    def __getitem__(self, index: int):
+        image_id, x, y, color_bkgd = self._select_pixels(index)
+        rgba = self.images[image_id, y, x].astype(np.float32) / 255.0
+        origins, viewdirs = self._rays_for_pixels(image_id, x, y)
+        pixels, alpha = rgba[..., :3], rgba[..., 3:]
+        pixels = pixels * alpha + color_bkgd * (1.0 - alpha)
+        return {
+            "rgb": pixels,
+            "rays_o": origins,
+            "rays_d": viewdirs,
+            "color_bkgd": color_bkgd,
+            "timestamps": self.view_times[image_id][:, None],
         }

@@ -127,9 +127,9 @@ class CPGridEncoder:
                     w,
                     line.astype(self.compute_dtype),
                     (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=self.compute_dtype,
                 )  # (3, N, rank)
-                prod = a[0] * a[1] * a[2]
+                prod = (a[0] * a[1] * a[2]).astype(jnp.float32)
             feats.append(prod)
         return jnp.concatenate(feats, axis=-1)
 

@@ -217,3 +217,35 @@ def test_loader360_split_convention_and_rays(tmp_path):
     np.testing.assert_allclose(
         np.linalg.norm(b["rays_d"], axis=-1), 1.0, atol=1e-5
     )
+
+
+def test_procedural_dynamic_scene():
+    """Time-varying procedural scene: frames actually change over time and
+    batches carry per-ray timestamps (the dnerf loader contract)."""
+    from nerfacc_tpu.data import ProceduralDynamicSceneLoader
+
+    ds = ProceduralDynamicSceneLoader(
+        split="test", n_test=3, width=32, height=32, gt_samples=64
+    )
+    assert ds.timestamps.shape == (3, 1)
+    # motion: first and last frames must differ substantially
+    assert (
+        np.abs(
+            ds.images[0].astype(np.float32) - ds.images[-1].astype(np.float32)
+        ).mean()
+        > 1.0
+    )
+    d0 = ds[0]
+    assert d0["timestamps"].shape == (32 * 32, 1)
+    assert float(d0["timestamps"][0]) == 0.0
+    d2 = ds[2]
+    assert float(d2["timestamps"][0]) == 1.0
+
+    tr = ProceduralDynamicSceneLoader(
+        split="train", n_train=4, width=32, height=32, gt_samples=64,
+        num_rays=128,
+    )
+    b = tr[0]
+    assert b["timestamps"].shape == (128, 1)
+    # per-ray times must match the sampled frames' times
+    assert set(np.unique(b["timestamps"])) <= set(np.unique(tr.view_times))

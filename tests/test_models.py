@@ -64,7 +64,9 @@ def test_cp_encoder_and_field():
     out = enc(params, x)
     assert out.shape == (32, 8)
     out2 = enc(params, x + 1e-5)
-    np.testing.assert_allclose(out, out2, atol=1e-2)
+    # encoder output is bf16 end-to-end (dots AND the 3-axis product), so
+    # continuity holds to ~3 bf16 ulps of the O(1) features
+    np.testing.assert_allclose(out, out2, atol=3e-2)
 
     field = CPRadianceField(aabb=AABB, resolutions=(8, 16), ranks=(4, 4))
     p = field.init(jax.random.PRNGKey(2))

@@ -172,3 +172,42 @@ def test_prop_trainer_multi_step_scan():
     p = np.asarray(auxs["prop_loss"])
     assert (p[~rgs] == 0.0).all()
     assert int(state.step) == 4
+
+
+def test_pooled_eval_renderer_matches_alive_ray():
+    """The pooled multi-round inference renderer must reproduce the
+    while-loop alive-ray renderer (same math, different scheduling)."""
+    trainer = NGPOccTrainer(
+        field=_tiny_field(),
+        aabb=AABB,
+        grid_resolution=16,
+        render_step_size=0.05,
+        sample_budget=1024,  # small budget => several rounds + truncations
+        max_samples_per_ray=128,
+        warmup_steps=4,
+        update_interval=2,
+        max_steps=100,
+    )
+    state = trainer.init_state()
+    key = jax.random.PRNGKey(0)
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        state, _ = trainer.train_step(state, _tiny_batch(sub))
+
+    batch = _tiny_batch(jax.random.PRNGKey(99), n_rays=64)
+    o = jnp.asarray(batch["rays_o"])
+    d = jnp.asarray(batch["rays_d"])
+    bkgd = jnp.ones((3,))
+    t = jnp.zeros((), jnp.float32)
+    c_pool, op_pool, dep_pool = trainer._render_chunk_pooled(
+        state.params, state.occ_state, o, d, bkgd, t
+    )
+    c_alive, op_alive, dep_alive = trainer._render_chunk(
+        state.params, state.occ_state, o, d, bkgd, t
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_pool), np.asarray(c_alive), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(op_pool), np.asarray(op_alive), atol=2e-2
+    )

@@ -535,6 +535,12 @@ class WindowSamples(NamedTuple):
         termination_planes / terminated: (n_rays,) — reference
             ``traverse_grids`` resume semantics (grid.cu:274-275).
         window_overflow: () number of valid windows dropped by the pool.
+        rays_o / rays_d: (window_budget, 3) the window's ray origin and
+            direction — EXACT f32 copies carried through the traversal's
+            own payload gather, so downstream consumers never need a
+            per-sample ray lookup (a random gather costs ~2 ms at 2^18
+            samples; a one-hot MXU spread rounds to bf16 at default
+            precision — both measured worse than just widening this gather).
     """
 
     t_starts: jnp.ndarray
@@ -545,6 +551,8 @@ class WindowSamples(NamedTuple):
     termination_planes: jnp.ndarray
     terminated: jnp.ndarray
     window_overflow: jnp.ndarray
+    rays_o: jnp.ndarray
+    rays_d: jnp.ndarray
 
 
 @functools.partial(
@@ -647,6 +655,11 @@ def traverse_grids_pooled(
         axis=-1,
     )  # (n_rays, 8 + 4 * n_segments)
     prow = jnp.take(pay, wray_c, axis=0)  # (Wb, C)
+    # NOTE: a one-hot MXU spread of the payload was tried and reverted:
+    # exactness forces Precision.HIGHEST (the TPU default bf16 dot rounds
+    # t values), and inf segment bounds of grid-missing rays poison a
+    # matmul spread with 0*inf NaNs — sanitizing + 6-pass precision ate the
+    # win over this plain row gather.
     j0_w = prow[:, 0].astype(jnp.int32)
     near_w = prow[:, 1]
     o_w = prow[:, 2:5]
@@ -724,7 +737,7 @@ def traverse_grids_pooled(
 
     return WindowSamples(
         t0, t1, valid, wray, counts, termination_planes, terminated,
-        total_w - jnp.minimum(total_w, Wb),
+        total_w - jnp.minimum(total_w, Wb), o_w, d_w,
     )
 
 

@@ -70,14 +70,56 @@ def spread_table(table: jnp.ndarray, ids: jnp.ndarray, n_rays: int):
     dot without materializing it.  Exact: the one-hot and the f32 dot are
     exact for f32 table values.  Out-of-range ids (compacted-buffer fill,
     ``ids == n_rays``) produce all-zero rows -> spread value 0.
+
+    REQUIRES finite table values: a single inf/NaN entry poisons EVERY
+    output row (``0 * inf = NaN`` in the contraction) — clip infinities to
+    +-1e30 at the call site (a gather would not care).
     """
     squeeze = table.ndim == 1
     t = table[:, None] if squeeze else table
     oh = (
         ids[:, None] == jnp.arange(n_rays, dtype=ids.dtype)[None, :]
-    ).astype(t.dtype)
+    ).astype(jnp.bfloat16)
+    # The TPU default lowers f32 dots to single-pass bf16 (measured 0.4%
+    # relative error on spread values — enough to shift ray origins by half
+    # a voxel), and Precision.HIGHEST costs ~2.3 ms/step in spreads alone.
+    # Exactness at default precision: split the table into three bf16 limbs
+    # (top/mid/low 8 mantissa bits) — each one-hot dot moves its limb
+    # exactly (1.0 * limb, f32 accumulate), and hi+mid+lo reconstructs the
+    # f32 value bit-exactly.  Three fused bf16 dots ~ the cost of one.
+    # The barriers are REQUIRED: XLA folds the bf16->f32->subtract convert
+    # chain (r1 = t - f32(bf16(t)) simplifies to 0, zeroing the low limbs)
+    # and re-folds the limb dots into one bf16 dot — both verified on the
+    # v5e to silently reintroduce the 0.4% error the limbs exist to remove.
+    hi = jax.lax.optimization_barrier(t.astype(jnp.bfloat16))
+    r1 = t - hi.astype(jnp.float32)
+    mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot(limb):
+        return jax.lax.dot_general(
+            oh, limb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    parts = jax.lax.optimization_barrier((dot(hi), dot(mid), dot(lo)))
+    out = ((parts[0] + parts[1]) + parts[2]).astype(t.dtype)
+    return out[:, 0] if squeeze else out
+
+
+def spread_table_bf16(table: jnp.ndarray, ids: jnp.ndarray, n_rays: int):
+    """Fast single-dot one-hot spread — bf16 VALUE precision (~0.4%
+    relative).  Used ONLY for backward-pass cotangents, where bf16 gradient
+    precision is standard mixed-precision practice; forward-path data
+    (positions, t values) must use exact paths (:func:`spread_table` or a
+    gather).  Out-of-range ids spread 0.  Requires finite table values."""
+    squeeze = table.ndim == 1
+    t = table[:, None] if squeeze else table
+    oh = (
+        ids[:, None] == jnp.arange(n_rays, dtype=ids.dtype)[None, :]
+    ).astype(jnp.bfloat16)
     out = jax.lax.dot_general(
-        oh, t, (((1,), (0,)), ((), ())),
+        oh, t.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(t.dtype)
     return out[:, 0] if squeeze else out
@@ -144,7 +186,9 @@ def _excl_bwd(n_rays, nonnegative, res, g):
     # dL/dv[j] = sum_{i > j, same segment} g[i] = incl[end(seg)] - incl[j];
     # fill slots get incl_at_end 0 from the one-hot spread — their grads are
     # garbage either way and are masked upstream.
-    return (spread_table(incl_at_end, ids, n_rays) - incl, None, None, None)
+    # bf16 one-hot spread: cotangent-only, ~1 ms cheaper than the exact
+    # gather at 2^18 (bf16 gradient precision is standard mixed precision)
+    return (spread_table_bf16(incl_at_end, ids, n_rays) - incl, None, None, None)
 
 
 exclusive_sum_sorted.defvjp(_excl_fwd, _excl_bwd)
@@ -191,7 +235,7 @@ def _seg_fwd(src, ids, n_rays, seg_starts=None, seg_ends=None):
 def _seg_bwd(n_rays, ids, g):
     # dL/dsrc[i] = g[seg(i)]; fill slots spread to 0 (masked upstream anyway:
     # w = 0 on fill slots).
-    return (spread_table(g, ids, n_rays), None, None, None)
+    return (spread_table_bf16(g, ids, n_rays), None, None, None)
 
 
 segment_sum_sorted.defvjp(_seg_fwd, _seg_bwd)

@@ -54,6 +54,15 @@ class CompactSamples(NamedTuple):
     first_incomplete_ray: jnp.ndarray
     seg_starts: jnp.ndarray
     seg_ends: jnp.ndarray
+    # per-sample ray origin/direction, carried through the compaction
+    # payload gather when the traversal provides them (WindowSamples.rays_o)
+    # — EXACT f32, no per-sample ray lookup needed downstream.  None for
+    # the padded-traversal path.
+    rays_o: Optional[jnp.ndarray] = None
+    rays_d: Optional[jnp.ndarray] = None
+    # optional extra per-sample channels (e.g. resumable prefix
+    # transmittance in the pooled inference renderer)
+    extras: Optional[jnp.ndarray] = None
 
 
 @functools.partial(jax.jit, static_argnames=("budget",))
@@ -115,14 +124,19 @@ def compact_samples(res: TraversalResult, budget: int) -> CompactSamples:
 
 
 @functools.partial(jax.jit, static_argnames=("budget", "n_rays"))
-def compact_samples_from_windows(ws, budget: int, n_rays: int) -> CompactSamples:
+def compact_samples_from_windows(
+    ws, budget: int, n_rays: int, extras: Optional[jnp.ndarray] = None
+) -> CompactSamples:
     """Compact a :class:`~nerfacc_tpu.grid.WindowSamples` pool into the flat
     fixed-budget sample buffer (same contract as :func:`compact_samples`).
 
     The pool is already (ray, window)-ordered, so one order-preserving key
     sort of ``window_budget * window_size`` candidates suffices — this is
     2-3x smaller than compacting the padded ``(n_rays, max_samples)`` layout.
-    Ray ids ride the payload gather as an f32 lane (exact for n_rays < 2^24).
+    Ray ids — and the per-window ray origin/direction, plus optional
+    ``extras`` (window_budget, C) channels — ride the payload gather as f32
+    lanes (a gather's cost is per index, so widening it is nearly free, and
+    unlike a one-hot MXU spread it does not round to bf16).
     """
     Wb, f = ws.valid.shape
     n = Wb * f
@@ -137,16 +151,37 @@ def compact_samples_from_windows(ws, budget: int, n_rays: int) -> CompactSamples
     ray_f = jnp.broadcast_to(
         ws.ray_ids[:, None].astype(jnp.float32), (Wb, f)
     ).reshape(-1)
-    payload = jnp.stack(
-        [ws.t_starts.reshape(-1), ws.t_ends.reshape(-1), ray_f], axis=-1
+    per_window = [ws.rays_o, ws.rays_d]
+    if extras is not None:
+        per_window.append(
+            extras[:, None] if extras.ndim == 1 else extras
+        )
+    pw = jnp.concatenate(per_window, axis=-1)  # (Wb, 6 + C)
+    n_pw = pw.shape[-1]
+    payload = jnp.concatenate(
+        [
+            jnp.stack(
+                [ws.t_starts.reshape(-1), ws.t_ends.reshape(-1), ray_f],
+                axis=-1,
+            ),
+            jnp.broadcast_to(pw[:, None, :], (Wb, f, n_pw)).reshape(n, n_pw),
+        ],
+        axis=-1,
     )
-    rows = jnp.take(payload, sel, axis=0)  # (budget, 3)
+    rows = jnp.take(payload, sel, axis=0)  # (budget, 3 + 6 + C)
     total = jnp.sum(ws.counts)
     num_valid = jnp.minimum(total, budget)
     valid = jnp.arange(budget, dtype=jnp.int32) < num_valid
     out_ray = jnp.where(valid, rows[:, 2].astype(jnp.int32), n_rays)
     out_t0 = jnp.where(valid, rows[:, 0], 0.0)
     out_t1 = jnp.where(valid, rows[:, 1], 0.0)
+    out_o = jnp.where(valid[:, None], rows[:, 3:6], 0.0)
+    out_d = jnp.where(valid[:, None], rows[:, 6:9], 0.0)
+    out_extras = (
+        jnp.where(valid[:, None], rows[:, 9:], 0.0)
+        if extras is not None
+        else None
+    )
     overflow = total - num_valid
     ends_excl = jnp.cumsum(ws.counts)
     seg_starts = jnp.minimum(ends_excl - ws.counts, budget).astype(jnp.int32)
@@ -157,7 +192,7 @@ def compact_samples_from_windows(ws, budget: int, n_rays: int) -> CompactSamples
     )
     return CompactSamples(
         out_ray, out_t0, out_t1, valid, num_valid, overflow, first_incomplete,
-        seg_starts, seg_ends,
+        seg_starts, seg_ends, out_o, out_d, out_extras,
     )
 
 
@@ -169,6 +204,7 @@ def render_rays_with_occgrid(
     render_bkgd: Optional[jnp.ndarray] = None,
     expected_depths: bool = True,
     prefix_trans: Optional[jnp.ndarray] = None,
+    prefix_trans_samples: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
     """Differentiable composite of a compacted sample buffer.
 
@@ -178,28 +214,43 @@ def render_rays_with_occgrid(
             buffer (``ray_indices`` lets time/appearance-conditioned fields
             look up per-ray extras).
         rays_o / rays_d: (n_rays, 3).
-        samples: a :class:`CompactSamples`.
+        samples: a :class:`CompactSamples`.  If it carries per-sample
+            ``rays_o``/``rays_d`` (the pooled-traversal compaction does),
+            those exact values are used and no per-sample ray lookup runs.
         prefix_trans: optional (n_rays, 1) per-ray transmittance carried in
             from earlier marching rounds (the reference's resumable
             ``prefix_trans``, examples/utils.py:384-391) — enables chunked /
             multi-round rendering where opacity accumulates across calls.
+        prefix_trans_samples: the same, already per-sample ``(budget,)``
+            (e.g. carried through the compaction payload) — preferred.
 
     Returns:
         colors (n_rays, 3), opacities (n_rays, 1), depths (n_rays, 1), extras.
     """
     n_rays = rays_o.shape[0]
     t_mid = 0.5 * (samples.t_starts + samples.t_ends)
-    # Empty slots hold ray id n_rays (see CompactSamples): the one-hot spread
-    # gives them o = d = 0 (harmless NaN-free positions; their outputs are
-    # masked by w = 0).  One fused MXU spread replaces two slow gathers.
-    from ..ops.sorted_segments import spread_table
+    pt_samples = prefix_trans_samples
+    if samples.rays_o is not None:
+        o, d = samples.rays_o, samples.rays_d
+        if pt_samples is None and prefix_trans is not None:
+            from ..ops.sorted_segments import spread_table
 
-    ray_table = jnp.concatenate([rays_o, rays_d], axis=-1)
-    if prefix_trans is not None:
-        ray_table = jnp.concatenate([ray_table, prefix_trans], axis=-1)
-    od = spread_table(ray_table, samples.ray_indices, n_rays)
-    o, d = od[:, :3], od[:, 3:6]
-    pt_samples = od[:, 6] if prefix_trans is not None else None
+            pt_samples = spread_table(
+                prefix_trans[:, 0], samples.ray_indices, n_rays
+            )
+    else:
+        # padded-path fallback: per-sample ray lookup via the exact one-hot
+        # limb spread (empty slots hold ray id n_rays -> o = d = 0,
+        # harmless NaN-free positions, outputs masked by w = 0)
+        from ..ops.sorted_segments import spread_table
+
+        ray_table = jnp.concatenate([rays_o, rays_d], axis=-1)
+        if prefix_trans is not None:
+            ray_table = jnp.concatenate([ray_table, prefix_trans], axis=-1)
+        od = spread_table(ray_table, samples.ray_indices, n_rays)
+        o, d = od[:, :3], od[:, 3:6]
+        if pt_samples is None and prefix_trans is not None:
+            pt_samples = od[:, 6]
     positions = o + t_mid[:, None] * d
     gather_ids = jnp.minimum(samples.ray_indices, n_rays - 1)
 
@@ -476,7 +527,14 @@ def make_pooled_eval_round(
             max_coarse=max_coarse,
             rays_mask=alive,
         )
-        samples = compact_samples_from_windows(ws, budget, n_rays)
+        # resumable transmittance rides the compaction payload: one cheap
+        # per-window gather instead of any per-sample lookup
+        prefix_w = jnp.take(
+            1.0 - opacity[:, 0], jnp.minimum(ws.ray_ids, n_rays - 1)
+        )
+        samples = compact_samples_from_windows(
+            ws, budget, n_rays, extras=prefix_w
+        )
 
         def rgb_sigma_fn(positions, dirs, ray_indices):
             rgbs, sigmas = field_fn(positions, dirs)
@@ -489,7 +547,7 @@ def make_pooled_eval_round(
             samples,
             render_bkgd=None,
             expected_depths=False,
-            prefix_trans=1.0 - opacity,
+            prefix_trans_samples=samples.extras[:, 0],
         )
         color = color + c
         opacity = opacity + o_add

@@ -138,3 +138,21 @@ def test_fine_probes_superset_and_tight():
     assert (ve & ~va).sum() == 0, "approx must never drop an exact sample"
     inflation = (va & ~ve).sum() / max(ve.sum(), 1)
     assert inflation < 0.05, f"sample inflation too high: {inflation:.3f}"
+
+
+def test_pooled_traversal_with_missing_rays():
+    """Rays that MISS the grid carry inf segment bounds; the one-hot payload
+    spread must not let 0*inf NaNs poison the pool (regression: all samples
+    vanished on TPU for any batch containing a missing ray)."""
+    state, rays_o, rays_d = _scene(n_rays=64)
+    n = 64
+    # point half the rays AWAY from the grid -> guaranteed misses
+    rays_d = rays_d.at[n // 2 :].set(-rays_d[n // 2 :])
+    ws = traverse_grids_pooled(
+        rays_o, rays_d, state.binaries, state.aabbs,
+        step_size=2e-2, window_budget=2048, window_size=8, max_coarse=96,
+    )
+    counts = np.asarray(ws.counts)
+    assert counts[: n // 2].sum() > 0, "hitting rays lost their samples"
+    assert (counts[n // 2 :] == 0).all(), "missing rays must emit nothing"
+    assert np.isfinite(np.asarray(ws.t_starts)[np.asarray(ws.valid)]).all()

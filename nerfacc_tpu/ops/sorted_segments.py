@@ -109,10 +109,14 @@ def spread_table(table: jnp.ndarray, ids: jnp.ndarray, n_rays: int):
 
 def spread_table_bf16(table: jnp.ndarray, ids: jnp.ndarray, n_rays: int):
     """Fast single-dot one-hot spread — bf16 VALUE precision (~0.4%
-    relative).  Used ONLY for backward-pass cotangents, where bf16 gradient
-    precision is standard mixed-precision practice; forward-path data
-    (positions, t values) must use exact paths (:func:`spread_table` or a
-    gather).  Out-of-range ids spread 0.  Requires finite table values."""
+    relative).  NOT used by the sorted-segment backwards anymore: spreading a
+    GLOBAL prefix sum in bf16 and differencing it against an f32 prefix
+    cancels catastrophically (error scales with the global cumsum magnitude,
+    not 0.4% — measured max rel err 2.09 at n=512), and the exact 3-limb
+    :func:`spread_table` costs about the same (fused bf16 dots).  Kept for
+    callers spreading SMALL standalone values where 0.4% is acceptable and
+    no near-equal subtraction follows.  Out-of-range ids spread 0.  Requires
+    finite table values."""
     squeeze = table.ndim == 1
     t = table[:, None] if squeeze else table
     oh = (
@@ -186,9 +190,12 @@ def _excl_bwd(n_rays, nonnegative, res, g):
     # dL/dv[j] = sum_{i > j, same segment} g[i] = incl[end(seg)] - incl[j];
     # fill slots get incl_at_end 0 from the one-hot spread — their grads are
     # garbage either way and are masked upstream.
-    # bf16 one-hot spread: cotangent-only, ~1 ms cheaper than the exact
-    # gather at 2^18 (bf16 gradient precision is standard mixed precision)
-    return (spread_table_bf16(incl_at_end, ids, n_rays) - incl, None, None, None)
+    # EXACT spread required: incl is a GLOBAL cumsum, so the difference
+    # cancels catastrophically — a bf16 spread of incl_at_end carries error
+    # proportional to the global prefix magnitude, not 0.4% of the gradient
+    # (measured max rel err 2.09 at n=512).  The three-limb spread_table is
+    # bit-exact and its fused bf16 dots cost ~the single-dot spread.
+    return (spread_table(incl_at_end, ids, n_rays) - incl, None, None, None)
 
 
 exclusive_sum_sorted.defvjp(_excl_fwd, _excl_bwd)
@@ -234,8 +241,9 @@ def _seg_fwd(src, ids, n_rays, seg_starts=None, seg_ends=None):
 
 def _seg_bwd(n_rays, ids, g):
     # dL/dsrc[i] = g[seg(i)]; fill slots spread to 0 (masked upstream anyway:
-    # w = 0 on fill slots).
-    return (spread_table_bf16(g, ids, n_rays), None, None, None)
+    # w = 0 on fill slots).  Exact spread: the grad tests pin 1e-5 agreement
+    # with jax.ops.segment_sum, and the 3-limb spread costs ~ the bf16 one.
+    return (spread_table(g, ids, n_rays), None, None, None)
 
 
 segment_sum_sorted.defvjp(_seg_fwd, _seg_bwd)

@@ -28,13 +28,19 @@ The estimator exposes the exact reference ``sampling()`` /
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Callable, Dict, List, Mapping, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..grid import _pack_bits_z, pool_binaries, traverse_grids_padded
+from ..grid import (
+    _pack_bits_z,
+    pool_binaries,
+    traverse_grids_padded,
+    traverse_grids_windowed,
+)
 from ..volrend import (
     render_visibility_from_alpha,
     render_visibility_from_density,
@@ -188,6 +194,7 @@ class SparseGridEstimator(AbstractEstimator):
         resolution: Union[int, Tuple[int, int, int]] = 128,
         max_samples: int = 1024,
         seed: int = 0,
+        pyramid_levels: int = 3,
     ) -> None:
         super().__init__()
         if init_grid is None:
@@ -201,7 +208,48 @@ class SparseGridEstimator(AbstractEstimator):
         # occs for the initial ijk set, vdb.py:77-80)
         self.occs = jnp.zeros((self.grid.total_voxels,), jnp.float32)
         self.max_samples = max_samples
+        self.pyramid_levels = pyramid_levels
         self._key = jax.random.PRNGKey(seed)
+        # pyramid + dilated-coarse caches, keyed on grid object identity (a
+        # strong ref to the source grid, so identity can't be recycled)
+        self._pyramid_src: Optional[SparseGrid] = None
+        self._pyramid: Optional[List[jnp.ndarray]] = None
+        self._coarse_cache: Dict[Tuple[int, int], jnp.ndarray] = {}
+
+    # -- persistent mip pyramid (the octree role) ---------------------------
+    def pyramid(self) -> List[jnp.ndarray]:
+        """Persistent max-pooled occupancy pyramid of the current grid —
+        rebuilt only when the grid changes, NOT on every sampling call.
+        Level ``i`` pools the base binaries by ``2**i`` (undilated: the pure
+        octree interior nodes; dilation for traversal conservativeness is
+        applied per-use by :meth:`_dilated`)."""
+        if self._pyramid is None or self._pyramid_src is not self.grid:
+            self._pyramid = self.grid.mip_pyramid(self.pyramid_levels)
+            self._pyramid_src = self.grid
+            self._coarse_cache = {}
+        return self._pyramid
+
+    def _dilated(self, lvl: int, pool: int, dilation: int) -> jnp.ndarray:
+        """Pyramid level ``lvl`` dilated so its world reach is at least the
+        ``pool * dilation`` base cells the windowed traversal's
+        conservativeness contract assumes (see
+        :func:`~nerfacc_tpu.grid._coarse_window_phase`): a level pooled by
+        ``p`` needs ``ceil(pool * dilation / p)`` coarse-cell dilation."""
+        p = 1 << lvl
+        d = max(1, math.ceil(pool * dilation / p))
+        key = (lvl, d)
+        if key not in self._coarse_cache:
+            pyr = self.pyramid()
+            self._coarse_cache[key] = pool_binaries(pyr[lvl], 1, d)
+        return self._coarse_cache[key]
+
+    def _coarse_levels(
+        self, pool: int, dilation: int
+    ) -> Tuple[jnp.ndarray, ...]:
+        """Coarse grid(s) the window phase tests against — a single pyramid
+        level here; :class:`N3TreeEstimator` returns a multi-level descent."""
+        lvl = min(int(math.log2(pool)), self.pyramid_levels - 1)
+        return (self._dilated(lvl, pool, dilation),)
 
     # -- reference-parity accessors ----------------------------------------
     @property
@@ -231,10 +279,18 @@ class SparseGridEstimator(AbstractEstimator):
         alpha_thre: float = 0.0,
         stratified: bool = False,
         cone_angle: float = 0.0,
+        traversal: str = "windowed",
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Sampling with spatial skipping (reference: vdb.py:108-238).
 
         Returns exact-size flattened ``(ray_indices, t_starts, t_ends)``.
+
+        ``traversal="windowed"`` (default) drives the coarse-to-fine
+        traversal from the PERSISTENT mip pyramid (:meth:`pyramid`) — the
+        octree/VDB hierarchy doing its job: the coarse phase tests pyramid
+        nodes instead of re-pooling the base grid every call, and window
+        budget exhaustion resumes from the reported termination planes, so
+        results match the exhaustive ``"padded"`` path exactly.
         """
         n_rays = rays_o.shape[0]
         near_planes = jnp.full((n_rays,), near_plane, rays_o.dtype)
@@ -248,16 +304,22 @@ class SparseGridEstimator(AbstractEstimator):
                 jax.random.uniform(self._next_key(), (n_rays,), rays_o.dtype)
                 * render_step_size
             )
-        t_starts, t_ends, ray_indices = traverse_vdbs(
-            rays_o,
-            rays_d,
-            self.grid,
-            near_planes,
-            far_planes,
-            step_size=render_step_size,
-            cone_angle=cone_angle,
-            max_samples=self.max_samples,
-        )
+        if traversal == "windowed":
+            ray_indices, t_starts, t_ends = self._sampling_pyramid(
+                rays_o, rays_d, near_planes, far_planes,
+                render_step_size, cone_angle,
+            )
+        else:
+            t_starts, t_ends, ray_indices = traverse_vdbs(
+                rays_o,
+                rays_d,
+                self.grid,
+                near_planes,
+                far_planes,
+                step_size=render_step_size,
+                cone_angle=cone_angle,
+                max_samples=self.max_samples,
+            )
 
         # skip invisible space (reference: vdb.py:240-270)
         if (alpha_thre > 0.0 or early_stop_eps > 0.0) and (
@@ -289,6 +351,68 @@ class SparseGridEstimator(AbstractEstimator):
             t_starts = jnp.asarray(np.asarray(t_starts)[masks])
             t_ends = jnp.asarray(np.asarray(t_ends)[masks])
         return ray_indices, t_starts, t_ends
+
+    def _sampling_pyramid(
+        self,
+        rays_o: jnp.ndarray,
+        rays_d: jnp.ndarray,
+        near_planes: jnp.ndarray,
+        far_planes: jnp.ndarray,
+        step_size: float,
+        cone_angle: float,
+        pool: int = 4,
+        dilation: int = 1,
+        max_rounds: int = 64,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Windowed traversal whose coarse phase consumes the persistent mip
+        pyramid; exhausted window budgets resume from the termination planes
+        until every ray terminates, so the flat output equals the padded
+        path's (this method owns the host sync, like the reference's
+        data-dependent ``uniform_ray_samples``, vdb.py:171-238)."""
+        n_rays = rays_o.shape[0]
+        coarse = self._coarse_levels(pool, dilation)
+        binaries, aabbs = self.grid.binaries, self.grid.aabb[None]
+        rid_acc: List[np.ndarray] = []
+        t0_acc: List[np.ndarray] = []
+        t1_acc: List[np.ndarray] = []
+        near = near_planes
+        alive = np.ones((n_rays,), bool)
+        for _ in range(max_rounds):
+            res = traverse_grids_windowed(
+                rays_o,
+                rays_d,
+                binaries,
+                aabbs,
+                near,
+                far_planes,
+                step_size=step_size,
+                cone_angle=cone_angle,
+                pool=pool,
+                dilation=dilation,
+                rays_mask=jnp.asarray(alive),
+                coarse_binaries=coarse,
+            )
+            valid = np.asarray(res.valid)
+            rid, sid = np.nonzero(valid)
+            rid_acc.append(rid.astype(np.int32))
+            t0_acc.append(np.asarray(res.t_starts)[rid, sid])
+            t1_acc.append(np.asarray(res.t_ends)[rid, sid])
+            alive = alive & ~np.asarray(res.terminated)
+            if not alive.any():
+                break
+            near = jnp.asarray(res.termination_planes)
+        rid = np.concatenate(rid_acc)
+        t0 = np.concatenate(t0_acc)
+        t1 = np.concatenate(t1_acc)
+        # rounds advance monotonically in t, so per-ray order is already
+        # ascending; a stable sort on ray id restores the reference's
+        # (ray-major, t-ascending) flat layout
+        order = np.argsort(rid, kind="stable")
+        return (
+            jnp.asarray(rid[order]),
+            jnp.asarray(t0[order]),
+            jnp.asarray(t1[order]),
+        )
 
     def update_every_n_steps(
         self,
@@ -382,16 +506,22 @@ class SparseGridEstimator(AbstractEstimator):
 class N3TreeEstimator(SparseGridEstimator):
     """Octree-flavoured estimator (reference: nerfacc/estimators/n3tree.py:23,
     not exported there either).  The TPU realization of the octree is the
-    bit-packed mip pyramid of :class:`SparseGrid` (``mip_pyramid``) — a
-    pointerless complete octree; the sampling/update protocol is identical
-    to :class:`SparseGridEstimator`."""
+    bit-packed mip pyramid of :class:`SparseGrid` (:meth:`pyramid`) — a
+    pointerless complete octree.  Unlike the base estimator (which tests one
+    pyramid level in the coarse phase), sampling here performs a PYRAMID
+    DESCENT (the reference's svox tree walk, n3tree.py:160-170): each
+    traversal window must pass every pyramid level from the coarsest down,
+    so finer interior nodes prune windows the coarser ones let through —
+    all levels conservative, hence results still exact."""
 
-    def __init__(self, *args, pyramid_levels: int = 3, **kwargs) -> None:
-        super().__init__(*args, **kwargs)
-        self.pyramid_levels = pyramid_levels
-
-    def pyramid(self) -> List[jnp.ndarray]:
-        return self.grid.mip_pyramid(self.pyramid_levels)
+    def _coarse_levels(
+        self, pool: int, dilation: int
+    ) -> Tuple[jnp.ndarray, ...]:
+        top = min(int(math.log2(pool)), self.pyramid_levels - 1)
+        # coarsest -> finer descent; the finest descent level is one below
+        # the base pool (reach-preserving dilation keeps it conservative)
+        lvls = range(top, max(top - 2, 0), -1) if top > 0 else (0,)
+        return tuple(self._dilated(l, pool, dilation) for l in lvls)
 
 
 # reference-name alias: a user porting `from nerfacc import VDBEstimator`

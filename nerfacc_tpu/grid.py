@@ -435,10 +435,21 @@ def _coarse_window_phase(
     pool,
     dilation,
     rays_mask,
+    coarse=None,
 ):
     """Phase 1 of the coarse-to-fine traversals: march the orbit at a stride
     of ``f`` steps against a max-pooled + dilated occupancy grid and flag the
     windows that may contain fine-valid samples (conservative).
+
+    ``coarse``: optional precomputed pooled grid(s) replacing the on-the-fly
+    ``pool_binaries`` — a single (m, cx, cy, cz) array, or a tuple of them at
+    DIFFERENT resolutions for a pyramid descent (octree role): a window
+    survives only if every level says occupied, so finer levels prune what
+    coarser ones let through.  Levels must be conservative (max-pooled with
+    ``dilation >= 1``, see :func:`pool_binaries`) or windows are wrongly
+    rejected.  Estimators that keep a persistent mip pyramid
+    (``SparseGridEstimator.pyramid``) pass it here instead of re-pooling
+    every call.
 
     Returns ``(window_valid (n, Kc), j0 (n, 1), Tc (n, Kc+1), seg_lo, seg_hi,
     seg_level, seg_valid)``.
@@ -453,7 +464,12 @@ def _coarse_window_phase(
     )
     n_segments = seg_lo.shape[-1]
 
-    coarse = pool_binaries(binaries, pool, dilation)
+    if coarse is None:
+        coarse_levels = (pool_binaries(binaries, pool, dilation),)
+    elif isinstance(coarse, (tuple, list)):
+        coarse_levels = tuple(coarse)
+    else:
+        coarse_levels = (coarse,)
     # Start each ray's window sweep at its first grid-segment entry (rounded
     # down to a window boundary so everything stays on the orbit) — rays
     # from outside the grids would otherwise burn ~25% of their coarse
@@ -485,15 +501,7 @@ def _coarse_window_phase(
             mid_j | (inter_j & ~mid_inside), seg_level[:, j : j + 1], level_c
         )
 
-    # small coarse grids take the exact MXU one-hot path (~10x cheaper than
-    # the gather at 128^3/pool=4); big ones fall back to the gather
-    _coarse_lookup = (
-        _occupancy_lookup_dot
-        if coarse.size <= (1 << 17)
-        else _occupancy_lookup
-    )
     pos_c = rays_o[:, None, :] + Mc[..., None] * rays_d[:, None, :]
-    occ_c = _coarse_lookup(pos_c, level_c, coarse, aabbs)
     if cone_angle > 0.0:
         # With geometric step growth a far window's half-extent can exceed
         # the pool*dilation reach around its midpoint's coarse cell, so the
@@ -503,11 +511,24 @@ def _coarse_window_phase(
         # truncation fraction reported by the trainer climbs.)
         pos_a = rays_o[:, None, :] + Tc[:, :-1, None] * rays_d[:, None, :]
         pos_b = rays_o[:, None, :] + Tc[:, 1:, None] * rays_d[:, None, :]
-        occ_c = (
-            occ_c
-            | _coarse_lookup(pos_a, level_c, coarse, aabbs)
-            | _coarse_lookup(pos_b, level_c, coarse, aabbs)
+    occ_c = jnp.ones(Mc.shape, dtype=bool)
+    for cg in coarse_levels:
+        # small coarse grids take the exact MXU one-hot path (~10x cheaper
+        # than the gather at 128^3/pool=4); big ones fall back to the gather
+        _coarse_lookup = (
+            _occupancy_lookup_dot
+            if cg.size <= (1 << 17)
+            else _occupancy_lookup
         )
+        occ_l = _coarse_lookup(pos_c, level_c, cg, aabbs)
+        if cone_angle > 0.0:
+            occ_l = (
+                occ_l
+                | _coarse_lookup(pos_a, level_c, cg, aabbs)
+                | _coarse_lookup(pos_b, level_c, cg, aabbs)
+            )
+        # pyramid descent: every level must agree the window may be occupied
+        occ_c = occ_c & occ_l
     # windows whose midpoint is outside every segment but that still touch
     # one (segment entry/exit straddlers) are kept unconditionally —
     # conservative; the fine phase re-tests exactly.
@@ -584,8 +605,13 @@ def traverse_grids_pooled(
     dilation: int = 1,
     rays_mask: Optional[jnp.ndarray] = None,
     fine_probes: int = 0,
+    coarse_binaries=None,
 ) -> WindowSamples:
     """Coarse-to-fine traversal with a GLOBAL window pool.
+
+    ``coarse_binaries``: optional precomputed pooled grid(s) for the window
+    phase — one array, or a tuple at several resolutions for a pyramid
+    descent (see :func:`_coarse_window_phase`).  ``None`` pools on the fly.
 
     ``fine_probes > 0`` switches the fine occupancy test to the bit-packed
     run-start probe scheme (:func:`_occupancy_lookup_window_words`) with
@@ -617,6 +643,7 @@ def traverse_grids_pooled(
         _coarse_window_phase(
             rays_o, rays_d, binaries, aabbs, near_planes, far_planes,
             step_size, cone_angle, Kc, f, pool, dilation, rays_mask,
+            coarse=coarse_binaries,
         )
     )
     n_segments = seg_lo.shape[-1]
@@ -768,8 +795,12 @@ def traverse_grids_windowed(
     pool: int = 4,
     dilation: int = 1,
     rays_mask: Optional[jnp.ndarray] = None,
+    coarse_binaries=None,
 ) -> TraversalResult:
     """Coarse-to-fine traversal: 2-4x fewer random-occupancy rows per ray.
+
+    ``coarse_binaries``: optional precomputed pooled grid(s) for phase 1
+    (single array or descent tuple, see :func:`_coarse_window_phase`).
 
     Phase 1 walks the marching orbit at a stride of ``window_size`` against a
     max-pooled + dilated occupancy grid (conservative for uniform stepping:
@@ -802,6 +833,7 @@ def traverse_grids_windowed(
         _coarse_window_phase(
             rays_o, rays_d, binaries, aabbs, near_planes, far_planes,
             step_size, cone_angle, Kc, f, pool, dilation, rays_mask,
+            coarse=coarse_binaries,
         )
     )
     n_segments = seg_lo.shape[-1]
@@ -1021,6 +1053,14 @@ def traverse_grids_voxel(
     Returns a :class:`TraversalResult` with ``(n_rays, max_edges - 1)``
     ragged-edge intervals (``t_starts[k] = edge[k]``, ``t_ends[k] =
     edge[k+1]``; unlike the uniform lattice, edges are irregular).
+
+    Budget truncation is REPORTED, not silent: if a ray needs more crossings
+    than ``max_edges`` admits (sort cutoff) or more than the per-progression
+    cap ``k_per`` (e.g. long diagonals through fine grids), intervals past
+    the trusted horizon are invalidated, ``terminated[ray] = False`` and
+    ``termination_planes[ray]`` is the horizon — re-call with
+    ``near_planes = termination_planes`` to resume, matching the reference's
+    ``traverse_steps_limit`` resume contract (grid.cu:274-275).
     """
     n_rays = rays_o.shape[0]
     dtype = rays_o.dtype
@@ -1050,6 +1090,7 @@ def traverse_grids_voxel(
     res = jnp.asarray(binaries.shape[1:], dtype=dtype)  # (3,)
     k_per = max((max_edges - 2 * n_segments) // (3 * m), 1)
     seqs = []
+    seq_cov = []  # per-progression trusted horizon (inf = fully covered)
     for l in range(m):
         lo_l = aabbs[l, :3]
         hi_l = aabbs[l, 3:]
@@ -1070,6 +1111,14 @@ def traverse_grids_voxel(
             )
             ks = jnp.arange(k_per, dtype=dtype)[None, :]
             seqs.append(t_first[:, None] + ks * delta[:, None])
+            # If the first UNGENERATED crossing (index k_per) still lies
+            # before t_exit, this progression was truncated: edges past the
+            # last generated crossing are untrustworthy (intervals there
+            # would silently span multiple voxels).
+            last_gen = t_first + (k_per - 1) * delta
+            seq_cov.append(
+                jnp.where(last_gen + delta <= t_exit, last_gen, jnp.inf)
+            )
     # segment entry/exit edges
     seqs.append(jnp.where(seg_valid, seg_lo, jnp.inf))
     seqs.append(jnp.where(seg_valid, seg_hi, jnp.inf))
@@ -1077,9 +1126,18 @@ def traverse_grids_voxel(
     # out-of-range edges pushed to +inf so they sort to the back
     edges = jnp.where((edges >= t_enter[:, None]) & (edges <= t_exit[:, None]),
                       edges, jnp.inf)
+    n_in_range = jnp.sum(jnp.isfinite(edges), axis=-1)
     edges = jnp.sort(edges, axis=-1)
     E = min(max_edges, edges.shape[-1])
+    cut = n_in_range > E
     edges = edges[:, :E]
+    # Trusted horizon: min over progression exhaustion and the sort cutoff.
+    # Beyond it crossings are missing, so intervals are invalid and the ray
+    # must be resumable from there (reference resume contract grid.cu:274-275).
+    t_cov = jnp.minimum(
+        jnp.min(jnp.stack(seq_cov, axis=-1), axis=-1),
+        jnp.where(cut, edges[:, E - 1], jnp.inf),
+    )
 
     t0 = edges[:, :-1]
     t1 = edges[:, 1:]
@@ -1101,11 +1159,19 @@ def traverse_grids_voxel(
     pos = rays_o[:, None, :] + safe_mids[..., None] * rays_d[:, None, :]
     occupied = _occupancy_lookup(pos, level, binaries, aabbs)
     valid = finite & inside_any & occupied
+    # Drop intervals past the trusted horizon: an interval whose far edge
+    # exceeds t_cov may straddle ungenerated crossings.
+    valid = valid & (t1 <= t_cov[:, None])
     if rays_mask is not None:
         valid = valid & rays_mask[:, None]
 
-    termination_planes = jnp.where(has_seg, t_exit, near_planes)
-    terminated = jnp.ones((n_rays,), bool)
+    truncated = t_cov < t_exit
+    if rays_mask is not None:
+        truncated = truncated & rays_mask  # masked rays: nothing to resume
+    termination_planes = jnp.where(
+        truncated, t_cov, jnp.where(has_seg, t_exit, near_planes)
+    )
+    terminated = ~truncated
     safe_t0 = jnp.where(jnp.isfinite(t0), t0, 0.0)
     safe_t1 = jnp.where(jnp.isfinite(t1), t1, 0.0)
     return TraversalResult(

@@ -16,6 +16,7 @@ from nerfacc_tpu import (
     traverse_grids,
     traverse_vdbs,
 )
+from nerfacc_tpu.estimators.sparse_grid import N3TreeEstimator
 
 
 def _rays(n_rays=64, seed=0):
@@ -142,6 +143,69 @@ def test_state_dict_roundtrip():
     est2.load_state_dict(sd)
     np.testing.assert_array_equal(
         np.asarray(est.binaries), np.asarray(est2.binaries))
+
+
+def test_pyramid_sampling_matches_padded():
+    """The default (pyramid-driven windowed) sampling path must equal the
+    exhaustive padded path exactly, including across window-budget resume
+    rounds (reference contract: vdb.py:171-238 uniform_ray_samples)."""
+    aabb = [-1.0, -1, -1, 1, 1, 1]
+    rng = np.random.default_rng(21)
+    dense = rng.random((32,) * 3) > 0.6
+    est = SparseGridEstimator(
+        init_grid=sparse_grid_from_dense(dense, aabb), seed=2
+    )
+    rays_o, rays_d = _rays(n_rays=48, seed=13)
+    rid_w, t0_w, t1_w = est.sampling(
+        rays_o, rays_d, render_step_size=1e-2, traversal="windowed")
+    rid_p, t0_p, t1_p = est.sampling(
+        rays_o, rays_d, render_step_size=1e-2, traversal="padded")
+    np.testing.assert_array_equal(np.asarray(rid_w), np.asarray(rid_p))
+    np.testing.assert_allclose(
+        np.asarray(t0_w), np.asarray(t0_p), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(t1_w), np.asarray(t1_p), atol=1e-5)
+
+
+def test_pyramid_is_persistent_and_invalidates_on_grid_change():
+    aabb = [-1.0, -1, -1, 1, 1, 1]
+    rng = np.random.default_rng(23)
+    dense = rng.random((16,) * 3) > 0.5
+    est = SparseGridEstimator(
+        init_grid=sparse_grid_from_dense(dense, aabb))
+    p1 = est.pyramid()
+    assert est.pyramid() is p1  # cached: no re-pooling per call
+    c1 = est._coarse_levels(4, 1)
+    assert est._coarse_levels(4, 1)[0] is c1[0]
+    est.grid = sparse_grid_from_dense(~dense, aabb)
+    p2 = est.pyramid()
+    assert p2 is not p1  # grid change invalidates
+    assert bool(np.asarray(p2[0]).any())
+
+
+def test_n3tree_descent_sampling_exact():
+    """Pyramid-descent (octree-walk) sampling prunes with MULTIPLE pyramid
+    levels yet stays exact (every level conservative -> AND conservative);
+    reference octree traversal role: n3tree.py:160-170."""
+    aabb = [-1.0, -1, -1, 1, 1, 1]
+    rng = np.random.default_rng(29)
+    # sparse blobby occupancy: descent actually prunes here
+    dense = rng.random((32,) * 3) > 0.92
+    n3 = N3TreeEstimator(
+        init_grid=sparse_grid_from_dense(dense, aabb), seed=4
+    )
+    # the descent must consult >1 pyramid level
+    assert len(n3._coarse_levels(4, 1)) >= 2
+    rays_o, rays_d = _rays(n_rays=48, seed=17)
+    rid_w, t0_w, t1_w = n3.sampling(
+        rays_o, rays_d, render_step_size=1e-2, traversal="windowed")
+    rid_p, t0_p, t1_p = n3.sampling(
+        rays_o, rays_d, render_step_size=1e-2, traversal="padded")
+    np.testing.assert_array_equal(np.asarray(rid_w), np.asarray(rid_p))
+    np.testing.assert_allclose(
+        np.asarray(t0_w), np.asarray(t0_p), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(t1_w), np.asarray(t1_p), atol=1e-5)
 
 
 def test_mip_pyramid_is_conservative():

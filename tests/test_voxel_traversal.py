@@ -77,6 +77,55 @@ def test_voxel_coverage_matches_brute_force():
         assert abs(brute - lengths[i]) < 0.03, (i, brute, lengths[i])
 
 
+def test_voxel_truncation_reported_and_resumable():
+    """A res=128 full-diagonal ray needs ~3*128 crossings; with a tight
+    edge budget the traversal must NOT silently drop far intervals — it
+    reports terminated=False with a resumable termination plane, and
+    resuming from that plane recovers full coverage (reference resume
+    contract, grid.cu:274-275)."""
+    res = 128
+    state = init_occ_grid(jnp.asarray([-1.0, -1, -1, 1, 1, 1]), res, 1)
+    state = state.__class__(
+        aabbs=state.aabbs,
+        occs=state.occs,
+        binaries=jnp.ones_like(state.binaries),
+    )
+    d = np.asarray([1.0, 1.0, 1.0]) / np.sqrt(3.0)
+    rays_o = jnp.asarray([-2.0 * d], jnp.float32)
+    rays_d = jnp.asarray([d], jnp.float32)
+    diag_len = 2.0 * np.sqrt(3.0)  # chord through the cube
+
+    def covered(r):
+        t0, t1, v = np.asarray(r.t_starts), np.asarray(r.t_ends), np.asarray(r.valid)
+        return float(np.where(v, t1 - t0, 0.0).sum())
+
+    # generous budget: fully covered, terminated
+    full = traverse_grids_voxel(
+        rays_o, rays_d, state.binaries, state.aabbs, max_edges=1024
+    )
+    assert bool(full.terminated[0])
+    assert abs(covered(full) - diag_len) < 1e-2
+
+    # tight budget: truncation must be SIGNALED, kept intervals exact
+    part = traverse_grids_voxel(
+        rays_o, rays_d, state.binaries, state.aabbs, max_edges=256
+    )
+    assert not bool(part.terminated[0])
+    tp = float(part.termination_planes[0])
+    t_exit = 2.0 + np.sqrt(3.0)
+    assert tp < t_exit - 1e-3
+    # all kept intervals lie before the reported horizon
+    t1 = np.asarray(part.t_ends)[0]
+    v = np.asarray(part.valid)[0]
+    assert (t1[v] <= tp + 1e-5).all()
+    # resume from the termination plane: combined coverage is complete
+    rest = traverse_grids_voxel(
+        rays_o, rays_d, state.binaries, state.aabbs,
+        near_planes=part.termination_planes, max_edges=256,
+    )
+    assert abs(covered(part) + covered(rest) - diag_len) < 2e-2
+
+
 def test_wrapper_dispatches_step_size_zero():
     state, rays_o, rays_d = _scene(seed=2)
     intervals, samples, term = traverse_grids(

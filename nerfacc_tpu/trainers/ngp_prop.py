@@ -236,12 +236,21 @@ class NGPPropTrainer:
             out.append(c[: chunk - pad] if pad else c)
         return np.concatenate(out)
 
-    def eval_psnr(self, state, dataset, max_images=None) -> float:
-        psnrs = []
+    def eval_metrics(self, state, dataset, max_images=None) -> dict:
+        """Mean PSNR and SSIM (the reference reports PSNR + LPIPS; SSIM
+        fills the second-metric role offline — see utils/metrics.py)."""
+        from ..utils import metrics as M
+
+        psnrs, ssims = [], []
         n = len(dataset) if max_images is None else min(len(dataset), max_images)
+        h, w = dataset.HEIGHT, dataset.WIDTH
         for i in range(n):
             data = dataset[i]
             rgb = self.render_image(state, data)
-            mse = float(np.mean((rgb - np.asarray(data["rgb"])) ** 2))
-            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
-        return float(np.mean(psnrs))
+            ref = np.asarray(data["rgb"])
+            psnrs.append(M.psnr(rgb, ref))
+            ssims.append(M.ssim(rgb.reshape(h, w, 3), ref.reshape(h, w, 3)))
+        return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+
+    def eval_psnr(self, state, dataset, max_images=None) -> float:
+        return self.eval_metrics(state, dataset, max_images)["psnr"]

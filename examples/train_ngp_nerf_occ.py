@@ -83,7 +83,10 @@ def main():
     from nerfacc_tpu.models.cp_field import CPRadianceField
     from nerfacc_tpu.trainers import NGPOccTrainer
 
-    unbounded = args.scene in MIPNERF360_UNBOUNDED_SCENES
+    unbounded = (
+        args.scene in MIPNERF360_UNBOUNDED_SCENES
+        or args.scene == "procedural360"
+    )
     # reference configs: train_ngp_nerf_occ.py:32-78
     if unbounded:
         trainer_kwargs = dict(
@@ -130,6 +133,20 @@ def main():
         weight_decay = (
             1e-5 if args.scene in ["materials", "ficus", "drums"] else 1e-6
         )
+    elif unbounded:
+        # self-contained unbounded benchmark: 360-style camera ring, ground
+        # plane + distant content outside the unit box (no dataset on disk)
+        from nerfacc_tpu.data import ProceduralUnboundedSceneLoader
+
+        aabb = [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0]
+        train_dataset = ProceduralUnboundedSceneLoader(
+            split="train",
+            num_rays=args.init_batch_size,
+            seed=args.seed,
+            color_bkgd_aug="random",
+        )
+        test_dataset = ProceduralUnboundedSceneLoader(split="test", n_test=6)
+        weight_decay = 0.0
     else:
         from nerfacc_tpu.data import ProceduralSceneLoader
 
@@ -170,17 +187,17 @@ def main():
     M = max(1, args.steps_per_call)
     step = 0
     trunc_ema = 0.0
-    while step <= args.max_steps:
-        datas = [
-            train_dataset[int(rng.integers(0, len(train_dataset)))]
-            for _ in range(M)
-        ]
-        batches = {
-            k: np.stack([d[k] for d in datas]) for k in datas[0].keys()
-        }
-        state, auxs = trainer.train_steps(state, batches)
-        step += M
+    n_samples = 0
+    # Aux reads are deferred TWO calls: materializing the just-dispatched
+    # call's auxs blocks the host for one dispatch latency per call (~3%
+    # end-to-end over the tunnel) — same policy as the trainer's
+    # _note_demand demand queue.  The ray-count controller and cliff guard
+    # therefore react with a 2-call lag, which is harmless for both.
+    pending_auxs = []
 
+    def _consume_aux(entry):
+        nonlocal samples_done, trunc_ema, n_samples
+        auxs, aux_step, aux_nrays = entry
         n_samples = int(np.asarray(auxs["n_rendering_samples"])[-1])
         n_total = int(np.asarray(auxs["n_total_samples"])[-1])
         samples_done += int(np.asarray(auxs["n_rendering_samples"]).sum())
@@ -196,14 +213,31 @@ def main():
         # too small for the scene — quality degrades silently otherwise
         # (reference analog: traverse_steps_limit semantics, grid.cu:184,208).
         n_trunc = int(np.asarray(auxs["n_rays_truncated"])[-1])
-        frac_trunc = n_trunc / max(len(datas[0]["rgb"]), 1)
-        trunc_ema = 0.9 * trunc_ema + 0.1 * frac_trunc if step > M else frac_trunc
-        if trunc_ema > 0.5 and step % (args.log_every) < M and step > 500:
+        frac_trunc = n_trunc / max(aux_nrays, 1)
+        trunc_ema = (
+            0.9 * trunc_ema + 0.1 * frac_trunc if aux_step > M else frac_trunc
+        )
+        if trunc_ema > 0.5 and aux_step % (args.log_every) < M and aux_step > 500:
             print(
                 f"WARNING: {trunc_ema:.0%} of rays are budget-truncated "
-                f"(step {step}). Raise --window_budget / "
+                f"(step {aux_step}). Raise --window_budget / "
                 f"--target_sample_batch_size or quality will suffer."
             )
+
+    while step <= args.max_steps:
+        datas = [
+            train_dataset[int(rng.integers(0, len(train_dataset)))]
+            for _ in range(M)
+        ]
+        batches = {
+            k: np.stack([d[k] for d in datas]) for k in datas[0].keys()
+        }
+        state, auxs = trainer.train_steps(state, batches)
+        step += M
+
+        pending_auxs.append((auxs, step, len(datas[0]["rgb"])))
+        if len(pending_auxs) > 2:
+            _consume_aux(pending_auxs.pop(0))
 
         if step % args.log_every < M:
             jax.block_until_ready(state.params)
@@ -223,8 +257,11 @@ def main():
             psnr_avg = trainer.eval_psnr(state, test_dataset)
             print(f"evaluation: step={step} psnr_avg={psnr_avg:.2f}")
 
-    psnr_avg = trainer.eval_psnr(state, test_dataset)
-    print(f"evaluation: psnr_avg={psnr_avg:.2f}")
+    for entry in pending_auxs:
+        _consume_aux(entry)
+
+    m = trainer.eval_metrics(state, test_dataset)
+    print(f"evaluation: psnr_avg={m['psnr']:.2f} ssim_avg={m['ssim']:.4f}")
 
 
 if __name__ == "__main__":

@@ -145,8 +145,8 @@ def main():
                 f"samples/s={rate:.3g}"
             )
 
-    psnr_avg = trainer.eval_psnr(state, test_dataset)
-    print(f"evaluation: psnr_avg={psnr_avg:.2f}")
+    m = trainer.eval_metrics(state, test_dataset)
+    print(f"evaluation: psnr_avg={m['psnr']:.2f} ssim_avg={m['ssim']:.4f}")
 
 
 if __name__ == "__main__":

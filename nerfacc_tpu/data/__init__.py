@@ -1,8 +1,13 @@
 from .nerf_synthetic import SubjectLoader
-from .procedural import ProceduralDynamicSceneLoader, ProceduralSceneLoader
+from .procedural import (
+    ProceduralDynamicSceneLoader,
+    ProceduralSceneLoader,
+    ProceduralUnboundedSceneLoader,
+)
 
 __all__ = [
     "SubjectLoader",
     "ProceduralSceneLoader",
     "ProceduralDynamicSceneLoader",
+    "ProceduralUnboundedSceneLoader",
 ]

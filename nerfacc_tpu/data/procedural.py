@@ -118,7 +118,10 @@ class ProceduralSceneLoader:
             dtype=np.float32,
         )
         self._gt_samples = gt_samples
-        self.images = self._render_gt_images()
+        # subclasses that replace the camera rig set _defer_gt_render before
+        # calling super().__init__ and render once with their own cameras
+        if not getattr(self, "_defer_gt_render", False):
+            self.images = self._render_gt_images()
 
     # -- analytic field -----------------------------------------------------
     def query_density(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -240,6 +243,167 @@ class ProceduralSceneLoader:
             "rays_d": viewdirs,
             "color_bkgd": color_bkgd,
         }
+
+
+class ProceduralUnboundedSceneLoader(ProceduralSceneLoader):
+    """Unbounded (Mip-NeRF-360-role) analytic scene: a central object inside
+    the unit region, a ground plane and a ring of large distant blobs far
+    OUTSIDE it.  Exercises the full unbounded config end-to-end — 4-level
+    occupancy grid, cone-angle stepping, scene contraction — which the
+    bounded scene never touches (reference benchmark:
+    docs/source/examples/static/ngp.rst:52-85; config:
+    examples/train_ngp_nerf_occ.py:49-78).
+
+    All content stays within radius ``content_radius`` (default 6.5) so a
+    ``grid_nlvl=4`` grid over a unit base aabb (coverage half-extent 8)
+    can represent everything the ground-truth integrator sees.  Cameras sit
+    on a ring of radius 1.8 looking at the origin — the 360-capture layout.
+    """
+
+    NEAR, FAR = 0.05, 20.0
+
+    def __init__(
+        self,
+        split: str = "train",
+        num_blobs: int = 16,
+        n_train: int = 24,
+        n_test: int = 4,
+        width: int = 320,
+        height: int = 320,
+        num_rays: Optional[int] = None,
+        color_bkgd_aug: str = "white",
+        seed: int = 42,
+        gt_samples: int = 512,
+        gt_far_samples: int = 256,
+        content_radius: float = 6.5,
+        num_far_blobs: int = 12,
+    ):
+        # far content must exist before the base __init__ renders GT
+        rng = np.random.default_rng(777)  # scene fixed across seeds
+        self.content_radius = float(content_radius)
+        self._gt_far_samples = int(gt_far_samples)
+        # ground plane: soft slab at z0, fading out at content_radius
+        self.ground_z0 = -0.55
+        self.ground_h = 0.12
+        self.ground_density = 150.0
+        # distant "trees/buildings": big blobs on a ring, resting near ground
+        theta = rng.uniform(0.0, 2 * np.pi, num_far_blobs)
+        radius = rng.uniform(3.0, content_radius - 1.0, num_far_blobs)
+        scale = rng.uniform(0.5, 1.4, num_far_blobs)
+        centers = np.stack(
+            [
+                radius * np.cos(theta),
+                radius * np.sin(theta),
+                self.ground_z0 + scale * rng.uniform(0.8, 1.6, num_far_blobs),
+            ],
+            axis=-1,
+        )
+        self.far_centers = jnp.asarray(centers, jnp.float32)
+        self.far_scales = jnp.asarray(scale, jnp.float32)
+        self.far_density = jnp.asarray(
+            rng.uniform(60.0, 200.0, num_far_blobs), jnp.float32
+        )
+        self.far_colors = jnp.asarray(
+            rng.uniform(0.1, 1.0, (num_far_blobs, 3)), jnp.float32
+        )
+        self._defer_gt_render = True
+        super().__init__(
+            split=split,
+            num_blobs=num_blobs,
+            n_train=n_train,
+            n_test=n_test,
+            width=width,
+            height=height,
+            num_rays=num_rays,
+            color_bkgd_aug=color_bkgd_aug,
+            seed=seed,
+            aabb_half=0.7,  # central object confined to the unit region
+            gt_samples=gt_samples,
+        )
+        # 360-capture camera ring: radius 1.8, slightly above, looking at
+        # the origin — the object fills the center, ground + far blobs fill
+        # the background of every view.
+        n_views = n_train if split == "train" else n_test
+        phase = 0.0 if split == "train" else 0.5 / max(n_test, 1)
+        poses = []
+        for i in range(n_views):
+            th = 2 * np.pi * (i / n_views + phase)
+            eye = np.array(
+                [1.8 * np.cos(th), 1.8 * np.sin(th), 0.6 + 0.15 * np.sin(2 * th)]
+            )
+            poses.append(
+                _look_at(
+                    eye.astype(np.float32), np.zeros(3), np.array([0, 0, 1.0])
+                )
+            )
+        self.camtoworlds = np.stack(poses).astype(np.float32)
+        self.images = self._render_gt_images()
+
+    # -- analytic field (object blobs + ground + far blobs) ------------------
+    def _ground_sigma(self, x: jnp.ndarray) -> jnp.ndarray:
+        r = jnp.linalg.norm(x[:, :2], axis=-1)
+        fade = jax.nn.sigmoid((self.content_radius - 0.5 - r) / 0.4)
+        slab = jnp.exp(-0.5 * ((x[:, 2] - self.ground_z0) / self.ground_h) ** 2)
+        return self.ground_density * slab * fade
+
+    def _ground_rgb(self, x: jnp.ndarray) -> jnp.ndarray:
+        # smooth low-frequency albedo so the field can actually fit it
+        u = 0.5 + 0.25 * jnp.sin(1.3 * x[:, 0]) * jnp.cos(0.9 * x[:, 1])
+        v = 0.45 + 0.2 * jnp.sin(0.6 * (x[:, 0] + x[:, 1]))
+        return jnp.stack([0.35 + 0.3 * u, 0.3 + 0.35 * v, 0.25 + 0.2 * u * v], -1)
+
+    def _far_contrib(self, x: jnp.ndarray) -> jnp.ndarray:
+        d2 = jnp.sum((x[:, None, :] - self.far_centers[None]) ** 2, axis=-1)
+        return self.far_density * jnp.exp(-0.5 * d2 / self.far_scales**2)
+
+    def query_density(self, x: jnp.ndarray) -> jnp.ndarray:
+        d2 = jnp.sum((x[:, None, :] - self.blob_centers[None]) ** 2, axis=-1)
+        inner = jnp.sum(
+            self.blob_density * jnp.exp(-0.5 * d2 / self.blob_scales**2), -1
+        )
+        far = jnp.sum(self._far_contrib(x), -1)
+        return (inner + far + self._ground_sigma(x))[:, None]
+
+    def query_rgb(self, x: jnp.ndarray) -> jnp.ndarray:
+        d2 = jnp.sum((x[:, None, :] - self.blob_centers[None]) ** 2, axis=-1)
+        w_in = self.blob_density * jnp.exp(-0.5 * d2 / self.blob_scales**2)
+        w_far = self._far_contrib(x)
+        w_g = self._ground_sigma(x)[:, None]
+        total = jnp.clip(
+            jnp.sum(w_in, -1, keepdims=True)
+            + jnp.sum(w_far, -1, keepdims=True)
+            + w_g,
+            min=1e-8,
+        )
+        rgb = (
+            w_in @ self.blob_colors
+            + w_far @ self.far_colors
+            + w_g * self._ground_rgb(x)
+        )
+        return rgb / total
+
+    # -- ground-truth rendering: near-uniform + far-disparity sampling ------
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _render_rays_gt(self, rays_o, rays_d):
+        t_split = 3.0
+        t_near = jnp.linspace(self.NEAR, t_split, self._gt_samples + 1)
+        # uniform in disparity from t_split to FAR: dt grows ~ t^2, matching
+        # the cone-angle stepping the trainer uses in the contracted region
+        s = jnp.linspace(1.0 / t_split, 1.0 / self.FAR, self._gt_far_samples + 1)
+        t = jnp.concatenate([t_near, 1.0 / s[1:]])
+        t0, t1 = t[:-1], t[1:]
+        tm = 0.5 * (t0 + t1)
+        pos = rays_o[:, None, :] + tm[None, :, None] * rays_d[:, None, :]
+        flat = pos.reshape(-1, 3)
+        sigma = self.query_density(flat).reshape(pos.shape[:2])
+        rgb = self.query_rgb(flat).reshape(pos.shape[:2] + (3,))
+        dt = (t1 - t0)[None, :]
+        alpha = 1.0 - jnp.exp(-sigma * dt)
+        trans = jnp.exp(-jnp.cumsum(sigma * dt, axis=-1) + sigma * dt)
+        weights = trans * alpha
+        color = jnp.sum(weights[..., None] * rgb, axis=1)
+        opacity = jnp.sum(weights, axis=1, keepdims=True)
+        return color, opacity
 
 
 class ProceduralDynamicSceneLoader(ProceduralSceneLoader):

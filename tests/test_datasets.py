@@ -249,3 +249,37 @@ def test_procedural_dynamic_scene():
     assert b["timestamps"].shape == (128, 1)
     # per-ray times must match the sampled frames' times
     assert set(np.unique(b["timestamps"])) <= set(np.unique(tr.view_times))
+
+
+def test_procedural_unbounded_scene():
+    """Unbounded (360-role) procedural scene: content must extend OUTSIDE the
+    unit box (ground plane + distant blobs) and cameras must sit on the
+    360-capture ring, so the 4-level-grid + contraction config has something
+    real to learn (reference benchmark: ngp.rst:52-85)."""
+    import jax.numpy as jnp
+
+    from nerfacc_tpu.data import ProceduralUnboundedSceneLoader
+
+    ds = ProceduralUnboundedSceneLoader(
+        split="test", n_test=2, width=32, height=32,
+        gt_samples=64, gt_far_samples=32,
+    )
+    # density outside the unit box: ground plane at (3, 0, z0) is dense
+    far_pts = jnp.asarray([[3.0, 0.0, ds.ground_z0], [5.0, 1.0, ds.ground_z0]])
+    sig = np.asarray(ds.query_density(far_pts))
+    assert (sig > 10.0).all(), sig
+    # distant blobs sit outside the unit box but inside grid coverage (+-8)
+    c = np.asarray(ds.far_centers)
+    assert (np.linalg.norm(c[:, :2], axis=-1) > 1.5).all()
+    assert (np.abs(c) < 8.0).all()
+    # cameras on the ring, outside the base aabb
+    eyes = ds.camtoworlds[:, :3, 3]
+    np.testing.assert_allclose(np.linalg.norm(eyes[:, :2], axis=-1), 1.8, atol=1e-5)
+    # images are dominated by content (a 360 capture has ~no empty sky)
+    op = ds.images[0].astype(np.float32)[..., 3] / 255.0
+    assert op.mean() > 0.9
+    b = ds[0]
+    assert b["rgb"].shape == (32 * 32, 3)
+    np.testing.assert_allclose(
+        np.linalg.norm(b["rays_d"], axis=-1), 1.0, atol=1e-5
+    )

@@ -286,10 +286,16 @@ class ProceduralUnboundedSceneLoader(ProceduralSceneLoader):
         self.ground_z0 = -0.55
         self.ground_h = 0.12
         self.ground_density = 150.0
-        # distant "trees/buildings": big blobs on a ring, resting near ground
+        # distant "trees/buildings": blobs on a ring, resting near ground.
+        # Their 3-sigma extent MUST stay clear of the camera ring (radius
+        # 1.8): with centers >= 4.0 and sigma <= 0.45 the density at any
+        # camera is ~1e-3 — cameras in free space, like a real 360 capture.
+        # (A previous parameterization used sigma up to 1.4 at radius 3.0;
+        # the blobs engulfed the ring, every GT ray saturated within a few
+        # samples and the images were one constant fog color.)
         theta = rng.uniform(0.0, 2 * np.pi, num_far_blobs)
-        radius = rng.uniform(3.0, content_radius - 1.0, num_far_blobs)
-        scale = rng.uniform(0.5, 1.4, num_far_blobs)
+        radius = rng.uniform(4.0, content_radius - 0.5, num_far_blobs)
+        scale = rng.uniform(0.25, 0.45, num_far_blobs)
         centers = np.stack(
             [
                 radius * np.cos(theta),
@@ -301,7 +307,7 @@ class ProceduralUnboundedSceneLoader(ProceduralSceneLoader):
         self.far_centers = jnp.asarray(centers, jnp.float32)
         self.far_scales = jnp.asarray(scale, jnp.float32)
         self.far_density = jnp.asarray(
-            rng.uniform(60.0, 200.0, num_far_blobs), jnp.float32
+            rng.uniform(100.0, 250.0, num_far_blobs), jnp.float32
         )
         self.far_colors = jnp.asarray(
             rng.uniform(0.1, 1.0, (num_far_blobs, 3)), jnp.float32

@@ -278,6 +278,14 @@ def test_procedural_unbounded_scene():
     # images are dominated by content (a 360 capture has ~no empty sky)
     op = ds.images[0].astype(np.float32)[..., 3] / 255.0
     assert op.mean() > 0.9
+    # cameras must sit in FREE SPACE (a fogged-in camera makes every GT ray
+    # saturate to one constant color within a few samples — this exact bug
+    # shipped once: far blobs with 3-sigma reach past the camera ring)
+    for eye in eyes:
+        assert float(ds.query_density(jnp.asarray(eye[None]))[0, 0]) < 0.1
+    # and the images must carry real structure, not one fog color
+    rgb = ds.images[0].astype(np.float32)[..., :3] / 255.0
+    assert float(rgb.std(axis=(0, 1)).min()) > 0.02, rgb.std(axis=(0, 1))
     b = ds[0]
     assert b["rgb"].shape == (32 * 32, 3)
     np.testing.assert_allclose(

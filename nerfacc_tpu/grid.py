@@ -576,6 +576,75 @@ class WindowSamples(NamedTuple):
     rays_d: jnp.ndarray
 
 
+def _pool_payload(
+    j0r, near_planes, rays_o, rays_d, seg_lo, seg_hi, seg_level, seg_valid
+):
+    """Per-ray payload table consumed by the fine phase via ONE row gather
+    per pool window: [j0, near, o(3), d(3), seg_lo, seg_hi, seg_level,
+    seg_valid] — separate takes cost ~0.5 ms each on this backend
+    regardless of width, so everything rides one gather."""
+    dtype = rays_o.dtype
+    return jnp.concatenate(
+        [
+            j0r.astype(dtype)[:, None],
+            near_planes[:, None],
+            rays_o,
+            rays_d,
+            seg_lo,
+            seg_hi,
+            seg_level.astype(dtype),
+            seg_valid.astype(dtype),
+        ],
+        axis=-1,
+    )  # (n_rays, 8 + 4 * n_segments)
+
+
+def _fine_phase_from_payload(
+    prow, wj, n_segments, f, step_size, cone_angle, binaries, aabbs,
+    fine_probes,
+):
+    """Exact fine-lattice test for a pool of windows, given their gathered
+    payload rows (layout of :func:`_pool_payload`) and coarse slot indices
+    ``wj`` (pool,).  Returns ``(t0, t1, valid, o_w, d_w)`` with shapes
+    ``(pool, f)`` / ``(pool, 3)``; ``valid`` combines the geometric
+    segment test with the occupancy lookup (run-start word probes when
+    ``fine_probes > 0``, per-candidate gather otherwise)."""
+    j0_w = prow[:, 0].astype(jnp.int32)
+    near_w = prow[:, 1]
+    o_w = prow[:, 2:5]
+    d_w = prow[:, 5:8]
+    slo_w = prow[:, 8 : 8 + n_segments]
+    shi_w = prow[:, 8 + n_segments : 8 + 2 * n_segments]
+    slev_w = prow[:, 8 + 2 * n_segments : 8 + 3 * n_segments].astype(jnp.int32)
+    sval_w = prow[:, 8 + 3 * n_segments :] > 0.5
+
+    wk = (j0_w + wj) * f  # (pool,) first orbit index
+    k_fine = wk[:, None] + jnp.arange(f, dtype=jnp.int32)[None, :]
+    t0 = _orbit_t(near_w, k_fine, step_size, cone_angle)
+    t1 = _orbit_t(near_w, k_fine + 1, step_size, cone_angle)
+    t_mids = 0.5 * (t0 + t1)
+
+    inside_any = jnp.zeros(t_mids.shape, dtype=bool)
+    level = jnp.zeros(t_mids.shape, dtype=jnp.int32)
+    for j in range(n_segments):
+        inside_j = (
+            sval_w[:, j : j + 1]
+            & (t_mids >= slo_w[:, j : j + 1])
+            & (t_mids < shi_w[:, j : j + 1])
+        )
+        inside_any = inside_any | inside_j
+        level = jnp.where(inside_j, slev_w[:, j : j + 1], level)
+
+    pos = o_w[:, None, :] + t_mids[..., None] * d_w[:, None, :]
+    if fine_probes > 0:
+        occupied = _occupancy_lookup_window_words(
+            pos, level, binaries, aabbs, fine_probes
+        )
+    else:
+        occupied = _occupancy_lookup(pos, level, binaries, aabbs)
+    return t0, t1, inside_any & occupied, o_w, d_w
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -665,62 +734,21 @@ def traverse_grids_pooled(
     wj = wsel % Kc
 
     # ---- fine phase on the pool ------------------------------------------
-    # ONE fused per-window row gather for every per-ray quantity: separate
-    # takes cost ~0.5 ms each on this backend regardless of width, so pack
-    # [j0, near, o(3), d(3), per-segment lo/hi/level/valid] into one payload.
-    pay = jnp.concatenate(
-        [
-            j0r.astype(dtype)[:, None],
-            near_planes[:, None],
-            rays_o,
-            rays_d,
-            seg_lo,
-            seg_hi,
-            seg_level.astype(dtype),
-            seg_valid.astype(dtype),
-        ],
-        axis=-1,
-    )  # (n_rays, 8 + 4 * n_segments)
+    pay = _pool_payload(
+        j0r, near_planes, rays_o, rays_d, seg_lo, seg_hi, seg_level,
+        seg_valid,
+    )
     prow = jnp.take(pay, wray_c, axis=0)  # (Wb, C)
     # NOTE: a one-hot MXU spread of the payload was tried and reverted:
     # exactness forces Precision.HIGHEST (the TPU default bf16 dot rounds
     # t values), and inf segment bounds of grid-missing rays poison a
     # matmul spread with 0*inf NaNs — sanitizing + 6-pass precision ate the
     # win over this plain row gather.
-    j0_w = prow[:, 0].astype(jnp.int32)
-    near_w = prow[:, 1]
-    o_w = prow[:, 2:5]
-    d_w = prow[:, 5:8]
-    slo_w = prow[:, 8 : 8 + n_segments]
-    shi_w = prow[:, 8 + n_segments : 8 + 2 * n_segments]
-    slev_w = prow[:, 8 + 2 * n_segments : 8 + 3 * n_segments].astype(jnp.int32)
-    sval_w = prow[:, 8 + 3 * n_segments :] > 0.5
-
-    wk = (j0_w + wj) * f  # (Wb,) first orbit index
-    k_fine = wk[:, None] + jnp.arange(f, dtype=jnp.int32)[None, :]
-    t0 = _orbit_t(near_w, k_fine, step_size, cone_angle)
-    t1 = _orbit_t(near_w, k_fine + 1, step_size, cone_angle)
-    t_mids = 0.5 * (t0 + t1)
-
-    inside_any = jnp.zeros(t_mids.shape, dtype=bool)
-    level = jnp.zeros(t_mids.shape, dtype=jnp.int32)
-    for j in range(n_segments):
-        inside_j = (
-            sval_w[:, j : j + 1]
-            & (t_mids >= slo_w[:, j : j + 1])
-            & (t_mids < shi_w[:, j : j + 1])
-        )
-        inside_any = inside_any | inside_j
-        level = jnp.where(inside_j, slev_w[:, j : j + 1], level)
-
-    pos = o_w[:, None, :] + t_mids[..., None] * d_w[:, None, :]
-    if fine_probes > 0:
-        occupied = _occupancy_lookup_window_words(
-            pos, level, binaries, aabbs, fine_probes
-        )
-    else:
-        occupied = _occupancy_lookup(pos, level, binaries, aabbs)
-    valid = inside_any & occupied & w_in[:, None]
+    t0, t1, fine_valid, o_w, d_w = _fine_phase_from_payload(
+        prow, wj, n_segments, f, step_size, cone_angle, binaries, aabbs,
+        fine_probes,
+    )
+    valid = fine_valid & w_in[:, None]
 
     # ---- per-ray sample counts within the pool ----------------------------
     wcnt = jnp.sum(valid.astype(jnp.int32), axis=-1)  # (Wb,)
@@ -766,6 +794,229 @@ def traverse_grids_pooled(
         t0, t1, valid, wray, counts, termination_planes, terminated,
         total_w - jnp.minimum(total_w, Wb), o_w, d_w,
     )
+
+
+class CoarsePool(NamedTuple):
+    """Precomputed coarse-phase state for cursor-based marching rounds.
+
+    The multi-round eval renderer used to re-run the ENTIRE coarse window
+    phase (orbit + segment events + pooled-occupancy tests over
+    ``n_rays * max_coarse`` windows) plus a fresh global window sort on
+    every resume round, although a resumed ray re-derives exactly the same
+    surviving windows.  This structure is built ONCE per ray batch: the
+    coarse phase runs once, every surviving window goes into one ray-major
+    sorted list, and each round just consumes the next windows per ray via
+    a cursor — no re-coarse, no full-size re-sort (reference analog: the
+    test renderer's persistent alive-ray marching state,
+    examples/utils.py:267-439).
+
+    Attributes:
+        wlist: (W_max,) int32 ``ray * Kc + slot`` of each surviving window,
+            ray-major; ``n_rays * Kc`` on filler entries.
+        w_in: (W_max,) entry holds a real window.
+        ray_e: (W_max,) ray of each entry (``n_rays`` on filler).
+        l_local: (W_max,) rank of the window within its ray (0-based).
+        counts_w: (n_rays,) listed surviving windows per ray.
+        pay: (n_rays, 8 + 4 * n_segments) fine-phase payload table
+            (:func:`_pool_payload`).
+        near: (n_rays,) orbit origin the window indices refer to.
+        resume_planes: (n_rays,) where coverage ends — the re-coarse
+            near plane for rays whose windows were exhausted (list
+            truncation or coarse-sweep exhaustion).
+        needs_recoarse: (n_rays,) coverage ended before the ray's natural
+            scene exit; after consuming ``counts_w`` windows the caller
+            must rebuild the pool from ``resume_planes``.
+        has_seg: (n_rays,) ray intersects any grid at all.
+    """
+
+    wlist: jnp.ndarray
+    w_in: jnp.ndarray
+    ray_e: jnp.ndarray
+    l_local: jnp.ndarray
+    counts_w: jnp.ndarray
+    pay: jnp.ndarray
+    near: jnp.ndarray
+    resume_planes: jnp.ndarray
+    needs_recoarse: jnp.ndarray
+    has_seg: jnp.ndarray
+
+
+def build_coarse_pool(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    binaries: jnp.ndarray,
+    aabbs: jnp.ndarray,
+    near_planes: jnp.ndarray,
+    far_planes: jnp.ndarray,
+    step_size: float,
+    cone_angle: float,
+    max_coarse: int,
+    window_size: int,
+    pool: int = 4,
+    dilation: int = 1,
+    max_windows: int = 1 << 17,
+    rays_mask: Optional[jnp.ndarray] = None,
+    coarse_binaries=None,
+) -> CoarsePool:
+    """Run the coarse window phase once and freeze it into a
+    :class:`CoarsePool` for cursor-based rounds
+    (:func:`pooled_round_from_coarse`)."""
+    from .ops.sorted_segments import spread_table
+
+    n_rays = rays_o.shape[0]
+    dtype = rays_o.dtype
+    f = window_size
+    Kc = max_coarse
+    (window_valid, j0, Tc, seg_lo, seg_hi, seg_level, seg_valid) = (
+        _coarse_window_phase(
+            rays_o, rays_d, binaries, aabbs, near_planes, far_planes,
+            step_size, cone_angle, Kc, f, pool, dilation, rays_mask,
+            coarse=coarse_binaries,
+        )
+    )
+    j0r = j0[:, 0]
+
+    nw = n_rays * Kc
+    W_max = min(max_windows, nw)
+    wv_flat = window_valid.reshape(-1)
+    iota = jnp.arange(nw, dtype=jnp.int32)
+    keys = jnp.where(wv_flat, iota, iota + nw)
+    _, order = jax.lax.sort_key_val(keys, iota)
+    wsel = order[:W_max]
+    counts_raw = jnp.sum(window_valid.astype(jnp.int32), axis=-1)
+    total_w = jnp.sum(counts_raw)
+    w_in = jnp.arange(W_max, dtype=jnp.int32) < jnp.minimum(total_w, W_max)
+    wlist = jnp.where(w_in, wsel, nw)
+    ray_e = jnp.where(w_in, wsel // Kc, n_rays).astype(jnp.int32)
+    G0 = jnp.cumsum(counts_raw) - counts_raw
+    counts_w = jnp.clip(W_max - G0, 0, counts_raw)
+    pool_truncated = counts_w < counts_raw
+    # local window rank per entry (exact one-hot spread of the ray starts)
+    G0_e = spread_table(G0.astype(dtype), ray_e, n_rays)
+    l_local = jnp.arange(W_max, dtype=jnp.int32) - G0_e.astype(jnp.int32)
+
+    pay = _pool_payload(
+        j0r, near_planes, rays_o, rays_d, seg_lo, seg_hi, seg_level,
+        seg_valid,
+    )
+
+    t_hi_last = jnp.max(jnp.where(seg_valid, seg_hi, -jnp.inf), axis=-1)
+    has_seg = jnp.any(seg_valid, axis=-1)
+    sweep_exhausted = t_hi_last > Tc[:, -1]
+    cs = jnp.cumsum(window_valid.astype(jnp.int32), axis=-1)
+    first_unlisted = jnp.argmax(cs > counts_w[:, None], axis=-1)
+    k_after = jnp.where(
+        pool_truncated,
+        (j0r + first_unlisted) * f,
+        (j0r + Kc) * f,
+    )
+    resume_planes = _orbit_t(
+        near_planes, k_after[:, None], step_size, cone_angle
+    )[:, 0]
+    resume_planes = jnp.where(has_seg, resume_planes, near_planes)
+    needs_recoarse = has_seg & (pool_truncated | sweep_exhausted)
+    if rays_mask is not None:
+        needs_recoarse = needs_recoarse & rays_mask
+    return CoarsePool(
+        wlist, w_in, ray_e, l_local, counts_w, pay, near_planes,
+        resume_planes, needs_recoarse, has_seg,
+    )
+
+
+def pooled_round_from_coarse(
+    cpool: CoarsePool,
+    cursor: jnp.ndarray,
+    alive: jnp.ndarray,
+    binaries: jnp.ndarray,
+    aabbs: jnp.ndarray,
+    step_size: float,
+    cone_angle: float,
+    max_coarse: int,
+    window_size: int,
+    window_budget: int,
+    sample_budget: int,
+    fine_probes: int = 0,
+) -> Tuple[WindowSamples, jnp.ndarray]:
+    """One marching round over a prebuilt :class:`CoarsePool`: take each
+    alive ray's next unconsumed windows (up to ``window_budget`` across the
+    batch, ray-major), fine-test only those, and report how many windows
+    each ray fully consumed so the caller can advance its cursor.
+
+    Sample-budget truncation rolls back to WINDOW granularity: a window
+    whose samples do not all fit in ``sample_budget`` contributes nothing
+    this round (its candidates are masked out) and is re-visited next
+    round — so cursor resume composites every sample exactly once.
+
+    Returns ``(WindowSamples, advance)``; ``ws.counts`` already reflects
+    the rollback, so ``compact_samples_from_windows(ws, sample_budget, n)``
+    never overflows.
+    """
+    from .ops.sorted_segments import spread_table
+
+    f = window_size
+    Kc = max_coarse
+    Wb = window_budget
+    W_max = cpool.wlist.shape[0]
+    n_rays = cpool.counts_w.shape[0]
+
+    # per-entry eligibility: this ray's cursor has not passed the window
+    ca = jnp.stack(
+        [cursor.astype(jnp.float32), alive.astype(jnp.float32)], axis=-1
+    )
+    ca_e = spread_table(ca, cpool.ray_e, n_rays)
+    elig = (
+        cpool.w_in
+        & (cpool.l_local >= ca_e[:, 0].astype(jnp.int32))
+        & (ca_e[:, 1] > 0.5)
+    )
+    iota = jnp.arange(W_max, dtype=jnp.int32)
+    keys = jnp.where(elig, iota, iota + W_max)
+    _, order = jax.lax.sort_key_val(keys, iota)
+    sel = order[:Wb]
+
+    rem = jnp.clip(
+        jnp.where(alive, cpool.counts_w - cursor, 0), 0, None
+    )
+    total_rem = jnp.sum(rem)
+    S = jnp.cumsum(rem) - rem
+    kept = jnp.clip(Wb - S, 0, rem)
+    pool_in = jnp.arange(Wb, dtype=jnp.int32) < jnp.minimum(total_rem, Wb)
+
+    wsel = jnp.take(cpool.wlist, sel)
+    wray = jnp.where(pool_in, wsel // Kc, n_rays).astype(jnp.int32)
+    wray_c = jnp.minimum(wray, n_rays - 1)
+    wj = wsel % Kc
+
+    prow = jnp.take(cpool.pay, wray_c, axis=0)
+    n_segments = (cpool.pay.shape[1] - 8) // 4
+    t0, t1, fine_valid, o_w, d_w = _fine_phase_from_payload(
+        prow, wj, n_segments, f, step_size, cone_angle, binaries, aabbs,
+        fine_probes,
+    )
+    valid = fine_valid & pool_in[:, None]
+
+    # window-granular sample-budget rollback
+    wcnt = jnp.sum(valid.astype(jnp.int32), axis=-1)
+    C0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(wcnt)]
+    )
+    P = jnp.sum((C0[1:] <= sample_budget).astype(jnp.int32))
+    valid = valid & (jnp.arange(Wb, dtype=jnp.int32) < P)[:, None]
+    kept_full = jnp.clip(P - S, 0, kept)
+    advance = kept_full
+
+    ends_w = jnp.clip(S + kept_full, 0, Wb)
+    starts_w = jnp.clip(S, 0, Wb)
+    counts = jnp.take(C0, ends_w) - jnp.take(C0, starts_w)
+
+    new_cursor = cursor + advance
+    terminated = new_cursor >= cpool.counts_w
+    ws = WindowSamples(
+        t0, t1, valid, wray, counts,
+        cpool.resume_planes, terminated,
+        total_rem - jnp.minimum(total_rem, Wb), o_w, d_w,
+    )
+    return ws, advance
 
 
 @functools.partial(

@@ -187,6 +187,7 @@ class NGPOccTrainer:
         self._render_chunk = jax.jit(self._render_chunk_impl)
         self._render_round = jax.jit(self._render_round_impl)
         self._render_chunk_pooled = jax.jit(self._render_chunk_pooled_impl)
+        self._render_chunk_cursor = jax.jit(self._render_chunk_cursor_impl)
         # host-side demand history for dynamic_budget: max over a short
         # sliding window (adapts down once the warmup-phase demand spike
         # leaves the window; bucket granularity absorbs jitter)
@@ -629,6 +630,34 @@ class NGPOccTrainer:
         color = color + bkgd * (1.0 - opacity)
         return color, opacity, depth
 
+    def _render_chunk_cursor_impl(self, params, occ_state, o, d, bkgd, t):
+        # Cursor-based pooled renderer: the coarse phase + global window
+        # sort run ONCE per chunk (utils.rendering.make_cursor_eval_chunk);
+        # rounds only pay fine probes + field + composite on the consumed
+        # pool.  Eval uses the SAME fine_probes as training so train and
+        # eval sample the identical voxel set (see PERF.md on the
+        # train/eval sampling-mismatch cost).
+        from ..utils.rendering import make_cursor_eval_chunk
+
+        max_coarse = max(self.max_samples_per_ray // self.window_size + 32, 64)
+        chunk_fn = make_cursor_eval_chunk(
+            self._field_eval_fn(params, t),
+            occ_state,
+            near_plane=self.near_plane,
+            far_plane=self.far_plane,
+            render_step_size=self.render_step_size,
+            cone_angle=self.cone_angle,
+            early_stop_eps=max(self.early_stop_eps, 1e-4),
+            sample_budget=max(self.sample_budget // 2, 1 << 14),
+            window_size=self.window_size,
+            max_coarse=max_coarse,
+            fine_probes=self.fine_probes,
+        )
+        color, opacity, depth = chunk_fn(o, d)
+        depth = depth / jnp.clip(opacity, min=jnp.finfo(jnp.float32).eps)
+        color = color + bkgd * (1.0 - opacity)
+        return color, opacity, depth
+
     def render_image(
         self, state: TrainState, data: Dict, chunk: int = 8192
     ) -> np.ndarray:
@@ -650,11 +679,10 @@ class NGPOccTrainer:
             if pad:
                 o = np.pad(o, ((0, pad), (0, 0)), constant_values=1e8)
                 d = np.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-            render = (
-                self._render_chunk_pooled
-                if self.eval_renderer == "pooled"
-                else self._render_chunk
-            )
+            render = {
+                "pooled": self._render_chunk_pooled,
+                "cursor": self._render_chunk_cursor,
+            }.get(self.eval_renderer, self._render_chunk)
             c, _, _ = render(
                 state.params,
                 state.occ_state,

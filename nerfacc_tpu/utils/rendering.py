@@ -583,6 +583,148 @@ def make_pooled_eval_round(
     return round_fn
 
 
+def make_cursor_eval_chunk(
+    field_fn: Callable,
+    occ_state,
+    near_plane: float = 0.0,
+    far_plane: float = 1e10,
+    render_step_size: float = 5e-3,
+    cone_angle: float = 0.0,
+    early_stop_eps: float = 1e-4,
+    sample_budget: int = 1 << 17,
+    window_size: int = 8,
+    max_coarse: int = 160,
+    fine_probes: int = 0,
+    window_budget: Optional[int] = None,
+    max_windows: int = 1 << 17,
+    max_rounds: int = 64,
+    max_recoarse: int = 4,
+):
+    """Cursor-based pooled inference renderer — one jittable function per
+    chunk, coarse phase hoisted OUT of the round loop.
+
+    The previous pooled renderer (:func:`make_pooled_eval_round`) re-ran the
+    full coarse window phase (orbit + segment events + pooled-occupancy
+    tests over ``n_rays * max_coarse`` windows, ~8 ms at 8k rays) plus a
+    fresh ``n_rays * max_coarse``-key window sort on every resume round,
+    although a resumed ray re-derives exactly the same surviving windows it
+    already found.  Here the coarse phase runs ONCE per chunk into a
+    :class:`~nerfacc_tpu.grid.CoarsePool` (ray-major sorted window list),
+    and each round consumes the next windows per ray via a cursor
+    (:func:`~nerfacc_tpu.grid.pooled_round_from_coarse`) — per-round cost
+    drops to the fine probes + field + composite on the actual pool.
+    Saturated rays stop contributing windows between rounds (resumable
+    ``prefix_trans`` compositing, reference examples/utils.py:384-391);
+    rays that outrun the window list or the coarse sweep re-coarse from
+    their resume planes in a rare outer iteration.
+
+    Returns ``chunk_fn(rays_o, rays_d) -> (color, opacity, depth)`` — pure;
+    jit it once per (field, occ_state donation) pattern.
+    """
+    from ..grid import build_coarse_pool, pooled_round_from_coarse
+
+    f = window_size
+    wb = (
+        window_budget
+        if window_budget is not None
+        else max((3 * sample_budget) // (2 * f), 1024)
+    )
+
+    def chunk_fn(rays_o, rays_d):
+        n_rays = rays_o.shape[0]
+        dtype = rays_o.dtype
+        far = jnp.full((n_rays,), far_plane, dtype)
+
+        def composite(ws, color, opacity, depth):
+            prefix_w = jnp.take(
+                1.0 - opacity[:, 0], jnp.minimum(ws.ray_ids, n_rays - 1)
+            )
+            samples = compact_samples_from_windows(
+                ws, sample_budget, n_rays, extras=prefix_w
+            )
+            c, o_add, d_add, _ = render_rays_with_occgrid(
+                lambda p, dd, rid: field_fn(p, dd),
+                rays_o,
+                rays_d,
+                samples,
+                render_bkgd=None,
+                expected_depths=False,
+                prefix_trans_samples=samples.extras[:, 0],
+            )
+            return color + c, opacity + o_add, depth + d_add
+
+        def outer_cond(carry):
+            i, near, active, *_ = carry
+            return (i < max_recoarse) & jnp.any(active)
+
+        def outer_body(carry):
+            i, near, active, color, opacity, depth = carry
+            cpool = build_coarse_pool(
+                rays_o, rays_d, occ_state.binaries, occ_state.aabbs,
+                near, far, render_step_size, cone_angle, max_coarse, f,
+                max_windows=max_windows, rays_mask=active,
+            )
+
+            def inner_cond(c):
+                j, cursor, alive, *_ = c
+                return (j < max_rounds) & jnp.any(alive)
+
+            def inner_body(c):
+                j, cursor, alive, color, opacity, depth = c
+                ws, advance = pooled_round_from_coarse(
+                    cpool, cursor, alive,
+                    occ_state.binaries, occ_state.aabbs,
+                    render_step_size, cone_angle, max_coarse, f,
+                    wb, sample_budget, fine_probes,
+                )
+                color, opacity, depth = composite(
+                    ws, color, opacity, depth
+                )
+                cursor = cursor + advance
+                alive = (
+                    alive
+                    & (opacity[:, 0] <= 1.0 - early_stop_eps)
+                    & (cursor < cpool.counts_w)
+                )
+                return (j + 1, cursor, alive, color, opacity, depth)
+
+            init = (
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((n_rays,), jnp.int32),
+                active & (cpool.counts_w > 0),
+                color,
+                opacity,
+                depth,
+            )
+            _, cursor, _, color, opacity, depth = jax.lax.while_loop(
+                inner_cond, inner_body, init
+            )
+            unsat = opacity[:, 0] <= 1.0 - early_stop_eps
+            active = (
+                active
+                & unsat
+                & cpool.needs_recoarse
+                & (cursor >= cpool.counts_w)
+            )
+            near = jnp.where(active, cpool.resume_planes, near)
+            return (i + 1, near, active, color, opacity, depth)
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            jnp.full((n_rays,), near_plane, dtype),
+            jnp.ones((n_rays,), bool),
+            jnp.zeros((n_rays, 3), dtype),
+            jnp.zeros((n_rays, 1), dtype),
+            jnp.zeros((n_rays, 1), dtype),
+        )
+        _, _, _, color, opacity, depth = jax.lax.while_loop(
+            outer_cond, outer_body, init
+        )
+        return color, opacity, depth
+
+    return chunk_fn
+
+
 def render_rays_occgrid_pooled(
     field_fn: Callable,
     occ_state,

@@ -285,3 +285,15 @@ def test_pooled_eval_renderer_matches_alive_ray():
     np.testing.assert_allclose(
         np.asarray(op_pool), np.asarray(op_alive), atol=2e-2
     )
+    # cursor renderer (coarse phase hoisted out of the round loop, window
+    # cursors instead of t-plane resumes) — same math again; the tiny
+    # sample budget forces several rounds plus window-granular rollbacks
+    c_cur, op_cur, dep_cur = trainer._render_chunk_cursor(
+        state.params, state.occ_state, o, d, bkgd, t
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_cur), np.asarray(c_alive), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(op_cur), np.asarray(op_alive), atol=2e-2
+    )

@@ -84,25 +84,31 @@ def spread_table(table: jnp.ndarray, ids: jnp.ndarray, n_rays: int):
     # relative error on spread values — enough to shift ray origins by half
     # a voxel), and Precision.HIGHEST costs ~2.3 ms/step in spreads alone.
     # Exactness at default precision: split the table into three bf16 limbs
-    # (top/mid/low 8 mantissa bits) — each one-hot dot moves its limb
-    # exactly (1.0 * limb, f32 accumulate), and hi+mid+lo reconstructs the
-    # f32 value bit-exactly.  Three fused bf16 dots ~ the cost of one.
+    # (top/mid/low 8 mantissa bits) — each one-hot contraction moves its
+    # limb exactly (1.0 * limb, f32 accumulate), and hi+mid+lo reconstructs
+    # the f32 value bit-exactly.  The limbs ride ONE dot as column groups
+    # of a concatenated (n_rays, 3C) rhs, so the (N, n_rays) one-hot is
+    # generated and streamed through the MXU once, not three times (the
+    # one-hot generation dominates: three separate limb dots cost ~3x).
     # The barriers are REQUIRED: XLA folds the bf16->f32->subtract convert
-    # chain (r1 = t - f32(bf16(t)) simplifies to 0, zeroing the low limbs)
-    # and re-folds the limb dots into one bf16 dot — both verified on the
-    # v5e to silently reintroduce the 0.4% error the limbs exist to remove.
+    # chain (r1 = t - f32(bf16(t)) simplifies to 0, zeroing the low limbs),
+    # and without the post-dot barrier it can rewrite the column-group sum
+    # as a pre-summed bf16 rhs — both verified on the v5e to silently
+    # reintroduce the 0.4% error the limbs exist to remove.
     hi = jax.lax.optimization_barrier(t.astype(jnp.bfloat16))
     r1 = t - hi.astype(jnp.float32)
     mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    def dot(limb):
-        return jax.lax.dot_general(
-            oh, limb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    parts = jax.lax.optimization_barrier((dot(hi), dot(mid), dot(lo)))
+    C = t.shape[1]
+    limbs = jnp.concatenate([hi, mid, lo], axis=1)  # (n_rays, 3C)
+    out3 = jax.lax.dot_general(
+        oh, limbs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    parts = jax.lax.optimization_barrier(
+        (out3[:, :C], out3[:, C : 2 * C], out3[:, 2 * C :])
+    )
     out = ((parts[0] + parts[1]) + parts[2]).astype(t.dtype)
     return out[:, 0] if squeeze else out
 

@@ -188,6 +188,12 @@ class NGPOccTrainer:
         self._render_round = jax.jit(self._render_round_impl)
         self._render_chunk_pooled = jax.jit(self._render_chunk_pooled_impl)
         self._render_chunk_cursor = jax.jit(self._render_chunk_cursor_impl)
+        # eval_renderer is part of the jit cache key (static): toggling the
+        # attribute between calls must not reuse the other renderer's
+        # compiled program.
+        self._render_frame = jax.jit(
+            self._render_frame_impl, static_argnums=(6,)
+        )
         # host-side demand history for dynamic_budget: max over a short
         # sliding window (adapts down once the warmup-phase demand spike
         # leaves the window; bucket granularity absorbs jitter)
@@ -648,7 +654,11 @@ class NGPOccTrainer:
             render_step_size=self.render_step_size,
             cone_angle=self.cone_angle,
             early_stop_eps=max(self.early_stop_eps, 1e-4),
-            sample_budget=max(self.sample_budget // 2, 1 << 14),
+            # Full train-path budget: per-round costs are dominated by the
+            # FIXED pool/budget shapes, not by alive-ray demand, so a
+            # smaller budget just multiplies the round count (measured:
+            # budget/2 -> 5 rounds x 6.5 ms vs 2-3 rounds at full budget).
+            sample_budget=self.sample_budget,
             window_size=self.window_size,
             max_coarse=max_coarse,
             fine_probes=self.fine_probes,
@@ -658,7 +668,66 @@ class NGPOccTrainer:
         color = color + bkgd * (1.0 - opacity)
         return color, opacity, depth
 
+    def _render_frame_impl(
+        self, params, occ_state, o_chunks, d_chunks, bkgd, t, renderer
+    ):
+        # Whole-frame eval in ONE dispatch: lax.scan over ray chunks with
+        # the pooled/cursor chunk renderer as the body.  On the tunneled
+        # backend each jitted call carries ~25-40 ms of host+dispatch
+        # overhead that does NOT overlap device execution across calls
+        # (measured: 13 pipelined 29 ms-device chunks still took 77 ms
+        # each wall); scanning the chunks inside one program removes all
+        # but one of those fixed costs — the eval analog of the trainer's
+        # fused multi-step scan.
+        render = {
+            "pooled": self._render_chunk_pooled_impl,
+            "cursor": self._render_chunk_cursor_impl,
+        }.get(renderer, self._render_chunk_impl)
+
+        def body(_, od):
+            o, d = od
+            c, op, dep = render(params, occ_state, o, d, bkgd, t)
+            return (), (c, op, dep)
+
+        _, (c, op, dep) = jax.lax.scan(body, (), (o_chunks, d_chunks))
+        return c, op, dep
+
     def render_image(
+        self, state: TrainState, data: Dict, chunk: int = 8192
+    ) -> np.ndarray:
+        if self.eval_renderer in ("pooled", "cursor"):
+            rays_o = np.asarray(data["rays_o"], np.float32).reshape(-1, 3)
+            rays_d = np.asarray(data["rays_d"], np.float32).reshape(-1, 3)
+            bkgd = jnp.asarray(data["color_bkgd"], jnp.float32)
+            t = jnp.asarray(
+                data["timestamps"].reshape(-1)[0]
+                if "timestamps" in data
+                else 0.0,
+                jnp.float32,
+            )
+            n = rays_o.shape[0]
+            n_chunks = -(-n // chunk)
+            pad = n_chunks * chunk - n
+            if pad:
+                rays_o = np.pad(
+                    rays_o, ((0, pad), (0, 0)), constant_values=1e8
+                )
+                rays_d = np.pad(
+                    rays_d, ((0, pad), (0, 0)), constant_values=1.0
+                )
+            c, _, _ = self._render_frame(
+                state.params,
+                state.occ_state,
+                jnp.asarray(rays_o.reshape(n_chunks, chunk, 3)),
+                jnp.asarray(rays_d.reshape(n_chunks, chunk, 3)),
+                bkgd,
+                t,
+                self.eval_renderer,
+            )
+            return np.asarray(c).reshape(n_chunks * chunk, 3)[:n]
+        return self._render_image_chunked(state, data, chunk)
+
+    def _render_image_chunked(
         self, state: TrainState, data: Dict, chunk: int = 8192
     ) -> np.ndarray:
         rays_o = np.asarray(data["rays_o"])
@@ -691,9 +760,17 @@ class NGPOccTrainer:
                 bkgd,
                 t,
             )
-            c = np.asarray(c)
-            out.append(c[: chunk - pad] if pad else c)
-        return np.concatenate(out)
+            # Keep results on device: materializing each chunk here would
+            # serialize dispatch with compute (the ~10 ms tunnel dispatch
+            # stops overlapping the previous chunk's execution).  One
+            # device_get at the end pipelines all chunks.
+            out.append((c, pad))
+        return np.concatenate(
+            [
+                np.asarray(c)[: chunk - pad] if pad else np.asarray(c)
+                for c, pad in out
+            ]
+        )
 
     def eval_metrics(self, state: TrainState, dataset, max_images=None) -> dict:
         """Mean PSNR and SSIM over the eval split (reference eval reports

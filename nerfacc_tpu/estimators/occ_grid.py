@@ -128,6 +128,7 @@ def _eval_cells(
     cell_ids: jnp.ndarray,  # (levels, n) flat ids within a level
     key: jax.Array,
     occ_eval_fn: Callable,
+    eval_chunk: int = 2**21,
 ) -> jnp.ndarray:
     """Query occupancy at a uniformly-jittered point inside each voxel.
 
@@ -144,6 +145,7 @@ def _eval_cells(
     occ = _chunked_eval(
         lambda pts: jnp.reshape(occ_eval_fn(pts), (-1,)),
         x_world.reshape(-1, 3),
+        chunk=eval_chunk,
     )
     return occ.reshape(levels, n)
 
@@ -178,6 +180,7 @@ def update_occ_grid(
     ema_decay: float = 0.95,
     warmup_steps: int = 256,
     dense: bool = False,
+    eval_chunk: int = 2**21,
 ) -> OccGridState:
     """One EMA occupancy update — pure, jittable (reference: occ_grid.py:366-404).
 
@@ -192,6 +195,11 @@ def update_occ_grid(
     sparse write needs two ~1M-row scatters (~20 ms together), while the
     extra field evaluations of the dense path ride the MXU (~6 ms) — and
     every cell refreshes 4x more often than the reference's schedule.
+
+    ``eval_chunk`` bounds the number of cells fed to ``occ_eval_fn`` per
+    sequential chunk — fields with layout-padded intermediates (the hash
+    encoder's (n, L, 8) tensors tile-pad 16x on TPU) OOM at the default
+    whole-grid chunk and advertise a smaller ``max_eval_chunk``.
     """
     levels = state.levels
     cells = state.cells_per_lvl
@@ -203,7 +211,9 @@ def update_occ_grid(
         all_ids = jnp.broadcast_to(
             jnp.arange(cells, dtype=jnp.int32)[None, :], (levels, cells)
         )
-        occ = _eval_cells(state, all_ids, k_eval, occ_eval_fn).reshape(-1)
+        occ = _eval_cells(
+            state, all_ids, k_eval, occ_eval_fn, eval_chunk
+        ).reshape(-1)
         visible = state.occs >= 0.0
         occs = jnp.where(
             visible, jnp.maximum(state.occs * ema_decay, occ), state.occs
@@ -243,7 +253,7 @@ def update_occ_grid(
             occupied_ids = occupied_ids[:, :n]
 
         cell_ids = jnp.concatenate([uniform_ids, occupied_ids], axis=-1)
-        occ = _eval_cells(state, cell_ids, k_eval, occ_eval_fn)
+        occ = _eval_cells(state, cell_ids, k_eval, occ_eval_fn, eval_chunk)
         flat = (
             jnp.arange(levels, dtype=jnp.int32)[:, None] * cells + cell_ids
         )

@@ -112,6 +112,12 @@ class NGPRadianceField:
     log2_hashmap_size: int = 19
     hidden_dim: int = 64
     compute_dtype: Any = jnp.bfloat16
+    # Occupancy-refresh chunk bound: the hash encoder materializes
+    # (n, L, 8[, F]) intermediates whose tiny minor dims tile-pad up to
+    # 16x on TPU — a whole-grid (2^21-cell) dense refresh tries to
+    # allocate ~32 GB.  Consumers (NGPOccTrainer's update_occ_grid) cap
+    # their eval chunk at this.
+    max_eval_chunk: int = 2**15
 
     def __post_init__(self):
         object.__setattr__(
@@ -217,6 +223,7 @@ class NGPDensityField:
     log2_hashmap_size: int = 17
     hidden_dim: int = 64
     compute_dtype: Any = jnp.bfloat16
+    max_eval_chunk: int = 2**16  # see NGPRadianceField.max_eval_chunk
 
     def __post_init__(self):
         object.__setattr__(

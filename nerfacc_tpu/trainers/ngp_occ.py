@@ -293,6 +293,9 @@ class NGPOccTrainer:
                 ema_decay=self.ema_decay,
                 warmup_steps=self.warmup_steps,
                 dense=self.dense_occ_update,
+                eval_chunk=min(
+                    2**21, getattr(self.field, "max_eval_chunk", 2**21)
+                ),
             ),
             lambda s: s,
             state.occ_state,

@@ -158,3 +158,25 @@ def test_propnet_uniform_spacing():
     )
     widths = np.asarray(t1 - t0)
     np.testing.assert_allclose(widths, widths.mean(), rtol=0.2)
+
+
+def test_occ_grid_update_eval_chunk_invariant():
+    """Chunking the occupancy-refresh field evals (eval_chunk — the bound
+    NGP-family fields advertise via max_eval_chunk to avoid tile-padded
+    OOM) must not change the resulting grid."""
+    key = jax.random.PRNGKey(3)
+    ref = init_occ_grid(AABB, resolution=16, levels=1)
+    chunked = init_occ_grid(AABB, resolution=16, levels=1)
+    for step in [0, 300]:  # warmup (dense) + post-warmup (sampled) paths
+        key, sub = jax.random.split(key)
+        ref = update_occ_grid(
+            ref, sub, jnp.asarray(step), sphere_occ_fn, warmup_steps=10
+        )
+        chunked = update_occ_grid(
+            chunked, sub, jnp.asarray(step), sphere_occ_fn,
+            warmup_steps=10, eval_chunk=512,
+        )
+    np.testing.assert_allclose(
+        np.asarray(ref.occs), np.asarray(chunked.occs), atol=1e-6
+    )
+    assert bool((ref.binaries == chunked.binaries).all())

@@ -11,11 +11,17 @@ alpha-composited backgrounds, PSNR eval) with a known-learnable target.
 from __future__ import annotations
 
 import functools
+import hashlib
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Bump when any analytic scene function changes (the GT disk cache below is
+# keyed on this + all scene constants).
+_GT_CACHE_VERSION = 1
 
 
 def _look_at(eye: np.ndarray, center: np.ndarray, up: np.ndarray) -> np.ndarray:
@@ -121,7 +127,51 @@ class ProceduralSceneLoader:
         # subclasses that replace the camera rig set _defer_gt_render before
         # calling super().__init__ and render once with their own cameras
         if not getattr(self, "_defer_gt_render", False):
-            self.images = self._render_gt_images()
+            self.images = self._gt_images_cached()
+
+    def _gt_images_cached(self) -> np.ndarray:
+        """GT images with a content-keyed disk cache.
+
+        The analytic render is deterministic in the scene constants, so
+        recomputing it per process only burns device dispatches (and, on a
+        cold jit cache, a compile).  Key = every array/scalar that feeds the
+        render; delete ``~/.nerfacc_tpu_gt_cache`` (or set
+        ``NERFACC_TPU_GT_CACHE=""``) to disable.
+        """
+        cache_root = os.environ.get(
+            "NERFACC_TPU_GT_CACHE",
+            os.path.expanduser("~/.nerfacc_tpu_gt_cache"),
+        )
+        if not cache_root:
+            return self._render_gt_images()
+        h = hashlib.sha1()
+        h.update(type(self).__name__.encode())
+        h.update(np.int64(_GT_CACHE_VERSION).tobytes())
+        for v in (
+            self.WIDTH, self.HEIGHT, self._gt_samples, self.NEAR, self.FAR
+        ):
+            h.update(np.float64(v).tobytes())
+        h.update(np.ascontiguousarray(self.camtoworlds).tobytes())
+        h.update(np.ascontiguousarray(self.K).tobytes())
+        for name in (
+            "blob_centers", "blob_scales", "blob_density", "blob_colors",
+            "view_times", "motion_dirs", "motion_phase", "motion_amp",
+            "far_centers", "far_scales", "far_density", "far_colors",
+            "ground_z0", "ground_h", "ground_density", "content_radius",
+        ):
+            v = getattr(self, name, None)
+            if v is not None:
+                h.update(np.ascontiguousarray(np.asarray(v)).tobytes())
+        path = os.path.join(cache_root, h.hexdigest() + ".npz")
+        if os.path.exists(path):
+            with np.load(path) as z:
+                return z["images"]
+        imgs = self._render_gt_images()
+        os.makedirs(cache_root, exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}.npz"
+        np.savez_compressed(tmp, images=imgs)
+        os.replace(tmp, path)
+        return imgs
 
     # -- analytic field -----------------------------------------------------
     def query_density(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -343,7 +393,7 @@ class ProceduralUnboundedSceneLoader(ProceduralSceneLoader):
                 )
             )
         self.camtoworlds = np.stack(poses).astype(np.float32)
-        self.images = self._render_gt_images()
+        self.images = self._gt_images_cached()
 
     # -- analytic field (object blobs + ground + far blobs) ------------------
     def _ground_sigma(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -46,14 +46,37 @@ def _pdf_loss(
     eps: float = 1e-7,
 ) -> jnp.ndarray:
     """Interlevel PDF-matching loss (reference: prop_net.py:232-256)."""
-    ids_left, ids_right = searchsorted(segments_key, segments_query)
     w = cdfs_query[..., 1:] - cdfs_query[..., :-1]
-    ids_left = ids_left[..., :-1]
-    ids_right = ids_right[..., 1:]
-
-    w_outer = jnp.take_along_axis(cdfs_key, ids_right, axis=-1) - (
-        jnp.take_along_axis(cdfs_key, ids_left, axis=-1)
-    )
+    q_vals = segments_query.vals
+    k_vals = segments_key.vals
+    if q_vals.ndim > 1:
+        # Fused batched path.  The reference gathers cdfs_key at the
+        # searchsorted indices (prop_net.py:249-253); on this chip the two
+        # (n_rays*n) row gathers plus their scatter-add backward were 56% of
+        # the proposal-step device time.  Instead: the indices are prefix
+        # counts over the sorted key edges, so the gathered values are one-hot
+        # select-reductions over the (small) edge axis — exact index
+        # semantics, elementwise forward, and a broadcast-multiply backward
+        # (no scatter).  Same trick as importance_sampling (pdf.py:199-218).
+        k_edges = k_vals.shape[-1]
+        cnt = jnp.sum(
+            k_vals[:, None, :-1] <= q_vals[:, :, None], axis=-1
+        ).astype(jnp.int32)
+        last = k_edges - 1
+        ids_left = jnp.clip(cnt[..., :-1] - 1, 0, last)
+        ids_right = jnp.clip(cnt[..., 1:], 0, last)
+        iota = jnp.arange(k_edges, dtype=jnp.int32)
+        sel = (ids_right[:, :, None] == iota).astype(cdfs_key.dtype) - (
+            ids_left[:, :, None] == iota
+        ).astype(cdfs_key.dtype)
+        w_outer = jnp.sum(sel * cdfs_key[:, None, :], axis=-1)
+    else:
+        ids_left, ids_right = searchsorted(segments_key, segments_query)
+        ids_left = ids_left[..., :-1]
+        ids_right = ids_right[..., 1:]
+        w_outer = jnp.take_along_axis(cdfs_key, ids_right, axis=-1) - (
+            jnp.take_along_axis(cdfs_key, ids_left, axis=-1)
+        )
     return jnp.clip(w - w_outer, min=0) ** 2 / (w + eps)
 
 

@@ -49,3 +49,46 @@ def test_update_every_n_steps_takes_optimizer_step():
     # requires_grad=False path: no-op, empty cache
     assert est.update_every_n_steps(trans, requires_grad=False) == 0.0
     assert est.prop_cache == []
+
+
+def test_pdf_loss_batched_matches_gather_oracle():
+    """The fused one-hot batched path in `_pdf_loss` must reproduce the
+    searchsorted+gather formulation exactly (reference: prop_net.py:232-256).
+    """
+    from nerfacc_tpu.data_specs import RayIntervals
+    from nerfacc_tpu.estimators.prop_net import _pdf_loss
+    from nerfacc_tpu.pdf import searchsorted
+
+    rng = np.random.default_rng(3)
+    n_rays, sq, sk = 16, 33, 65
+    q_vals = jnp.asarray(np.sort(rng.uniform(0.0, 6.0, (n_rays, sq)), -1), jnp.float32)
+    k_vals = jnp.asarray(np.sort(rng.uniform(-1.0, 7.0, (n_rays, sk)), -1), jnp.float32)
+    cdfs_q = jnp.asarray(np.sort(rng.uniform(size=(n_rays, sq)), -1), jnp.float32)
+    cdfs_k = jnp.asarray(np.sort(rng.uniform(size=(n_rays, sk)), -1), jnp.float32)
+    segs_q = RayIntervals(vals=q_vals)
+    segs_k = RayIntervals(vals=k_vals)
+
+    got = _pdf_loss(segs_q, cdfs_q, segs_k, cdfs_k)
+
+    ids_left, ids_right = searchsorted(segs_k, segs_q)
+    ids_left = ids_left[..., :-1]
+    ids_right = ids_right[..., 1:]
+    w = cdfs_q[..., 1:] - cdfs_q[..., :-1]
+    w_outer = jnp.take_along_axis(cdfs_k, ids_right, -1) - jnp.take_along_axis(
+        cdfs_k, ids_left, -1
+    )
+    want = jnp.clip(w - w_outer, min=0) ** 2 / (w + 1e-7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-7)
+
+    # gradients through both formulations agree too (cdfs_key cotangent is the
+    # one the one-hot rewrite changes from scatter-add to broadcast-multiply)
+    g_got = jax.grad(lambda ck: jnp.sum(_pdf_loss(segs_q, cdfs_q, segs_k, ck)))(cdfs_k)
+
+    def oracle(ck):
+        wo = jnp.take_along_axis(ck, ids_right, -1) - jnp.take_along_axis(
+            ck, ids_left, -1
+        )
+        return jnp.sum(jnp.clip(w - wo, min=0) ** 2 / (w + 1e-7))
+
+    g_want = jax.grad(oracle)(cdfs_k)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), rtol=1e-5, atol=1e-6)

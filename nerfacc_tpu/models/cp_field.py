@@ -17,6 +17,7 @@ Fills the same role as the reference's tcnn NGP field
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -24,6 +25,53 @@ import jax.numpy as jnp
 
 from .encoders import spherical_harmonics_16
 from .ngp import _mlp_apply, _mlp_init, contract_to_unisphere, trunc_exp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def tp_allreduce(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """All-reduce a tensor-parallel partial sum with an identity transpose.
+
+    Forward: ``psum`` over the model axis (each shard holds the partial
+    product of its rank-slice of the encoder features with its row-slice of
+    the first MLP layer).  Backward: the output is replicated over the model
+    axis, so the arriving cotangent is too, and each shard's partial
+    contributes linearly exactly once — the correct input cotangent is the
+    cotangent itself.  Spelling this out as a custom VJP keeps the gradient
+    unambiguous under ``shard_map(check_vma=False)`` (where JAX cannot track
+    replication to transpose ``psum`` on its own).
+    """
+    return jax.lax.psum(x, axis_name)
+
+
+def _tp_allreduce_fwd(x, axis_name):
+    return jax.lax.psum(x, axis_name), None
+
+
+def _tp_allreduce_bwd(axis_name, _res, g):
+    return (g,)
+
+
+tp_allreduce.defvjp(_tp_allreduce_fwd, _tp_allreduce_bwd)
+
+
+def _mlp_apply_tp(params, x, compute_dtype, tp_axis: Optional[str]):
+    """Bias-free ReLU MLP with megatron-style row parallelism on layer 0.
+
+    With ``tp_axis`` set, ``x`` is the locally-sharded feature slice and
+    ``params[0]`` the matching row-slice of the first weight matrix; the
+    partial products are psum-ed before the activation and every later layer
+    runs replicated.  ``tp_axis=None`` is exactly ``_mlp_apply``.
+    """
+    x = x.astype(compute_dtype)
+    for i, w in enumerate(params):
+        x = jnp.dot(
+            x, w.astype(compute_dtype), preferred_element_type=jnp.float32
+        )
+        if i == 0 and tp_axis is not None:
+            x = tp_allreduce(x, tp_axis)
+        if i < len(params) - 1:
+            x = jax.nn.relu(x).astype(compute_dtype)
+    return x
 
 
 def _hat_weights(u: jnp.ndarray, R: int, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -64,6 +112,18 @@ class CPGridEncoder:
     compute_dtype: Any = jnp.bfloat16
     kernel: str = "auto"
     use_pallas: bool = False
+    # Block-decomposed levels: for R >= block_min_res, split the R-point hat
+    # dot into a one-hot block-select dot (N, R/bs) @ (R/bs, (bs+1)*rank)
+    # followed by a local (bs+1)-point hat contraction.  Exact (the hat row's
+    # two nonzeros never cross an overlapped block boundary) and it shrinks
+    # the materialized per-level intermediates from N*(R+rank) to
+    # N*(R/bs + (bs+1)*rank) — the top level's (3, N, 512) bf16 hat tensor
+    # (~800 MB/step at N=2^18) is the single largest HBM stream in the field
+    # block.  block_size=0 disables (dense hat dot everywhere).
+    # Default 0 (dense hat dot — the round-2 validated operating point)
+    # until the block path is measured on-chip.
+    block_size: int = 0
+    block_min_res: int = 256
 
     @property
     def output_dim(self) -> int:
@@ -100,9 +160,10 @@ class CPGridEncoder:
         if kernel == "auto":
             kernel = "xla"
         feats = []
-        for (R, rank), line in zip(
-            zip(self.resolutions, self.ranks), params["lines"]
-        ):
+        for R, line in zip(self.resolutions, params["lines"]):
+            # rank from the param (not the config): under tensor parallelism
+            # each shard holds a rank-slice of every level's line table
+            rank = line.shape[-1]
             if kernel == "fused" and not self.use_pallas:
                 from ..ops.cp_level import cp_level_encode
 
@@ -114,6 +175,12 @@ class CPGridEncoder:
                 for axis in range(3):
                     a = hat_interp_matmul(x[:, axis], line[axis])
                     prod = a if prod is None else prod * a
+            elif (
+                self.block_size
+                and R >= self.block_min_res
+                and R % self.block_size == 0
+            ):
+                prod = self._block_level(x, line, R, rank)
             else:
                 # one batched (3, N, R) @ (3, R, rank) dot per level instead
                 # of three separate dots — fewer kernel launches, same MXU
@@ -132,6 +199,37 @@ class CPGridEncoder:
                 prod = (a[0] * a[1] * a[2]).astype(jnp.float32)
             feats.append(prod)
         return jnp.concatenate(feats, axis=-1)
+
+    def _block_level(
+        self, x: jnp.ndarray, line: jnp.ndarray, R: int, rank: int
+    ) -> jnp.ndarray:
+        """Block-decomposed level encode (see ``block_size``).
+
+        Grid row ``i = bs*j + k``; the overlapped block table carries rows
+        ``bs*j .. bs*j + bs`` so the hat pair (floor/ceil of the position)
+        always lives inside block ``j = floor(pos / bs)``.
+        """
+        bs = self.block_size
+        nb = R // bs
+        n = x.shape[0]
+        cd = self.compute_dtype
+        pad = jnp.concatenate([line, jnp.zeros_like(line[:, :1])], axis=1)
+        idx = jnp.arange(nb)[:, None] * bs + jnp.arange(bs + 1)[None, :]
+        tbl = pad[:, idx].reshape(3, nb, (bs + 1) * rank).astype(cd)
+        pos = x.T * (R - 1)  # (3, N)
+        j = jnp.clip((pos // bs).astype(jnp.int32), 0, nb - 1)
+        local = pos - j.astype(pos.dtype) * bs  # in [0, bs]
+        onehot = (j[:, :, None] == jnp.arange(nb, dtype=jnp.int32)).astype(cd)
+        bf = jax.lax.dot_general(
+            onehot, tbl, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=cd,
+        ).reshape(3, n, bs + 1, rank)
+        grid_l = jnp.arange(bs + 1, dtype=x.dtype)
+        hat = jnp.maximum(
+            0.0, 1.0 - jnp.abs(local[:, :, None] - grid_l[None, None, :])
+        ).astype(cd)  # (3, N, bs+1)
+        a = jnp.sum(bf * hat[..., None], axis=2)  # (3, N, rank)
+        return (a[0] * a[1] * a[2]).astype(jnp.float32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,6 +252,10 @@ class CPRadianceField:
     geo_feat_dim: int = 15
     hidden_dim: int = 64
     compute_dtype: Any = jnp.bfloat16
+    # Tensor parallelism: mesh axis name over which the line tables' rank
+    # dim and the first base-MLP layer's rows are sharded (see parallel/tp.py).
+    # None = single-shard semantics.
+    tp_axis: Optional[str] = None
 
     def __post_init__(self):
         object.__setattr__(
@@ -202,7 +304,9 @@ class CPRadianceField:
     def query_density(self, params, x, return_feat: bool = False):
         u, selector = self._normalize(x)
         feats = self.encoder(params["encoder"], u)
-        h = _mlp_apply(params["mlp_base"], feats, self.compute_dtype)
+        h = _mlp_apply_tp(
+            params["mlp_base"], feats, self.compute_dtype, self.tp_axis
+        )
         raw_density, geo_feat = h[..., :1], h[..., 1:]
         density = trunc_exp(raw_density - 1.0) * selector[..., None]
         if return_feat:
@@ -242,6 +346,7 @@ class CPDensityField:
     ranks: Sequence[int] = (16, 16)
     hidden_dim: int = 64
     compute_dtype: Any = jnp.bfloat16
+    tp_axis: Optional[str] = None
 
     def __post_init__(self):
         object.__setattr__(
@@ -273,5 +378,7 @@ class CPDensityField:
             u = (positions - lo) / (hi - lo)
             selector = ((u > 0.0) & (u < 1.0)).all(axis=-1)
         feats = self.encoder(params["encoder"], u)
-        raw = _mlp_apply(params["mlp_base"], feats, self.compute_dtype)
+        raw = _mlp_apply_tp(
+            params["mlp_base"], feats, self.compute_dtype, self.tp_axis
+        )
         return trunc_exp(raw - 1.0) * selector[..., None]

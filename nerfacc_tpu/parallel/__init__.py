@@ -1,3 +1,19 @@
 from .mesh import make_mesh, make_dp_train_step, shard_batch
+from .tp import (
+    make_mesh_2d,
+    make_tp_field,
+    make_tp_train_step,
+    permute_w1,
+    tp_w1_permutation,
+)
 
-__all__ = ["make_mesh", "make_dp_train_step", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "make_dp_train_step",
+    "shard_batch",
+    "make_mesh_2d",
+    "make_tp_field",
+    "make_tp_train_step",
+    "permute_w1",
+    "tp_w1_permutation",
+]

@@ -86,6 +86,33 @@ def test_cp_encoder_and_field():
     assert sum(float(jnp.abs(x).sum()) for x in flat) > 0
 
 
+def test_cp_encoder_block_matches_dense():
+    """The block-decomposed level path must equal the dense hat dot exactly
+    in f32 (construction is a reindexing, not an approximation) and to bf16
+    noise in the default compute dtype."""
+    res, ranks = (256, 512), (8, 16)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (512, 3))
+    # exact grid/block-boundary positions included
+    x = x.at[:6, 0].set(jnp.array([0.0, 1.0, 4 / 511, 255 / 511, 508 / 511, 0.5]))
+    for dtype, atol in ((jnp.float32, 0.0), (jnp.bfloat16, 4e-2)):
+        dense = CPGridEncoder(
+            resolutions=res, ranks=ranks, block_size=0, compute_dtype=dtype
+        )
+        block = CPGridEncoder(
+            resolutions=res, ranks=ranks, block_size=4, compute_dtype=dtype
+        )
+        params = dense.init(jax.random.PRNGKey(0))
+        a = np.asarray(dense(params, x))
+        b = np.asarray(block(params, x))
+        np.testing.assert_allclose(a, b, atol=atol)
+        ga = jax.grad(lambda p: jnp.sum(dense(p, x) ** 2))(params)
+        gb = jax.grad(lambda p: jnp.sum(block(p, x) ** 2))(params)
+        for la, lb in zip(ga["lines"], gb["lines"]):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), atol=max(atol, 2e-5) * 30
+            )
+
+
 def test_ngp_field_contract():
     field = NGPRadianceField(aabb=AABB, n_levels=4, log2_hashmap_size=12,
                              max_resolution=64)

@@ -100,6 +100,112 @@ def test_dp_matches_single_device(mesh8):
     )
 
 
+def _make_tp_trainer(model_axis="model", **kw):
+    from nerfacc_tpu.parallel import make_tp_field
+
+    aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
+    field = make_tp_field(
+        CPRadianceField(aabb=tuple(aabb), resolutions=(16, 64), ranks=(8, 8)),
+        model_axis,
+    )
+    kw.setdefault("grid_resolution", 16)
+    kw.setdefault("render_step_size", 2e-2)
+    kw.setdefault("sample_budget", 4096)
+    kw.setdefault("max_samples_per_ray", 256)
+    kw.setdefault("warmup_steps", 4)
+    kw.setdefault("update_interval", 2)
+    return NGPOccTrainer(field=field, aabb=aabb, **kw)
+
+
+def test_tp_step_matches_single_device():
+    """(data=2, model=2) TP+DP step == single-chip step: same loss, same
+    updated params (line tables sharded over rank; first base-MLP weight
+    row-sharded in shard-major order via tp_w1_permutation)."""
+    from nerfacc_tpu.parallel import (
+        make_mesh_2d,
+        make_tp_train_step,
+        permute_w1,
+        tp_w1_permutation,
+    )
+
+    batch = _make_batch(64)
+    t_single = _make_trainer(stratified=False, sample_budget=16384)
+    s_single = t_single.init_state()
+    s_single, aux_single = t_single.train_step(s_single, batch)
+    s_single, aux_single2 = t_single.train_step(s_single, batch)
+
+    mesh = make_mesh_2d(2, 2)
+    t_tp = _make_tp_trainer(stratified=False, sample_budget=16384)
+    perm = tp_w1_permutation(t_tp.field.ranks, 2)
+    s_tp = t_tp.init_state()
+    s_tp = s_tp._replace(params=permute_w1(s_tp.params, perm))
+    step_fn, shard_state, shard_tp_batch = make_tp_train_step(t_tp, mesh)
+    s_tp = shard_state(s_tp)
+    # two steps so the occupancy-update branch (model-axis psum under
+    # lax.cond) executes on the mesh too
+    s_tp, aux_tp = step_fn(s_tp, shard_tp_batch(dict(batch)))
+    s_tp, aux_tp2 = step_fn(s_tp, shard_tp_batch(dict(batch)))
+
+    np.testing.assert_allclose(
+        float(aux_tp["loss"]), float(aux_single["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(aux_tp2["loss"]), float(aux_single2["loss"]), rtol=1e-4
+    )
+    assert int(aux_tp["n_rendering_samples"]) == int(
+        aux_single["n_rendering_samples"]
+    )
+
+    # updated params agree: W1 modulo the shard-major row permutation,
+    # everything else directly
+    w1_single = np.asarray(s_single.params["mlp_base"][0])
+    w1_tp = np.asarray(s_tp.params["mlp_base"][0])
+    np.testing.assert_allclose(w1_tp, w1_single[perm], rtol=2e-4, atol=2e-5)
+    for a, b in zip(
+        s_single.params["encoder"]["lines"], s_tp.params["encoder"]["lines"]
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+    for a, b in zip(s_single.params["mlp_head"], s_tp.params["mlp_head"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+    np.testing.assert_array_equal(
+        np.asarray(s_single.occ_state.binaries),
+        np.asarray(s_tp.occ_state.binaries),
+    )
+
+
+def test_tp_sharding_is_real():
+    """The compiled TP step must actually shard the line tables and W1 —
+    guard against silent full replication."""
+    from nerfacc_tpu.parallel import (
+        make_mesh_2d,
+        make_tp_train_step,
+        permute_w1,
+        tp_w1_permutation,
+    )
+
+    mesh = make_mesh_2d(2, 2)
+    t_tp = _make_tp_trainer(stratified=False)
+    perm = tp_w1_permutation(t_tp.field.ranks, 2)
+    s_tp = t_tp.init_state()
+    s_tp = s_tp._replace(params=permute_w1(s_tp.params, perm))
+    step_fn, shard_state, shard_tp_batch = make_tp_train_step(t_tp, mesh)
+    s_tp = shard_state(s_tp)
+    line0 = s_tp.params["encoder"]["lines"][0]
+    w1 = s_tp.params["mlp_base"][0]
+    assert line0.addressable_shards[0].data.shape[-1] == line0.shape[-1] // 2
+    assert w1.addressable_shards[0].data.shape[0] == w1.shape[0] // 2
+    s_tp, aux = step_fn(s_tp, shard_tp_batch(_make_batch(64)))
+    out_line0 = s_tp.params["encoder"]["lines"][0]
+    assert (
+        out_line0.addressable_shards[0].data.shape[-1]
+        == out_line0.shape[-1] // 2
+    )
+
+
 def test_dp_multi_step_trains(mesh8):
     """A few DP steps must reduce the loss on a fittable constant target."""
     trainer = _make_trainer(stratified=False)

@@ -1,4 +1,4 @@
-from .mesh import make_mesh, make_dp_train_step, shard_batch
+from .mesh import make_dp_prop_step, make_dp_train_step, make_mesh, shard_batch
 from .tp import (
     make_mesh_2d,
     make_tp_field,
@@ -10,6 +10,7 @@ from .tp import (
 __all__ = [
     "make_mesh",
     "make_dp_train_step",
+    "make_dp_prop_step",
     "shard_batch",
     "make_mesh_2d",
     "make_tp_field",

@@ -98,3 +98,53 @@ def make_dp_train_step(trainer, mesh: Mesh, axis_name: str = "data"):
         return cache[keys](state, batch)
 
     return step
+
+
+def make_dp_prop_step(trainer, mesh: Mesh, axis_name: str = "data"):
+    """Data-parallel fused train step for an ``NGPPropTrainer``.
+
+    Same structure as :func:`make_dp_train_step`: the per-device program is
+    the trainer's own ``_train_step_impl`` on the local ray shard.  Every
+    loss term is a mean over the (equal-sized) ray shards, so ``pmean`` of
+    the per-shard gradients is exactly the gradient of the global-batch
+    loss; params/optimizer state stay replicated.
+
+    Returns ``step(state, batch, requires_grad)`` — batch leaves globally
+    shaped with the ray axis sharded (:func:`shard_batch`).
+    """
+    try:  # jax >= 0.8
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+            return _shard_map(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=check_rep,
+            )
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    cache: Dict[Tuple, Any] = {}
+
+    def step(state, batch, requires_grad: bool = False):
+        keys = (tuple(sorted(batch.keys())), bool(requires_grad))
+        if keys not in cache:
+            body = functools.partial(
+                trainer._train_step_impl,
+                requires_grad=bool(requires_grad),
+                axis_name=axis_name,
+            )
+            specs = {
+                k: P() if k == "color_bkgd" else P(axis_name)
+                for k in batch.keys()
+            }
+            sharded = shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), specs),
+                out_specs=(P(), P()),
+                check_rep=False,
+            )
+            cache[keys] = jax.jit(sharded, donate_argnums=(0,))
+        return cache[keys](state, batch)
+
+    return step

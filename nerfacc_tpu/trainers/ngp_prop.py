@@ -61,6 +61,7 @@ class NGPPropTrainer:
     lr: float = 1e-2
     weight_decay: float = 0.0
     seed: int = 42
+    stratified: bool = True
 
     def __post_init__(self):
         assert len(self.prop_fields) == len(self.prop_samples)
@@ -110,7 +111,7 @@ class NGPPropTrainer:
             self.near_plane,
             self.far_plane,
             self.sampling_type,
-            stratified=key is not None,
+            stratified=key is not None and self.stratified,
             requires_grad=requires_grad,
             key=key,
         )
@@ -145,9 +146,30 @@ class NGPPropTrainer:
         return fn
 
     def _train_step_impl(
-        self, state: PropTrainState, batch: Dict, requires_grad: bool
+        self,
+        state: PropTrainState,
+        batch: Dict,
+        requires_grad: bool,
+        axis_name=None,
     ):
+        """One fused step.  With ``axis_name`` set this same body runs
+        per-device inside a ``shard_map`` over a ray-sharded mesh (see
+        ``parallel.mesh.make_dp_prop_step``): sampling and field eval stay
+        local to the shard, and — because every loss term is a mean over
+        equal-sized ray shards — ``pmean`` of the per-shard gradients equals
+        the gradient of the global-batch loss."""
         key, k_strat = jax.random.split(state.key)
+        if axis_name is not None:
+            # decorrelate per-shard stratified jitter; the replicated `key`
+            # carried in the state stays identical across devices
+            k_strat = jax.random.fold_in(
+                k_strat, jax.lax.axis_index(axis_name)
+            )
+        _pmean = (
+            (lambda x: jax.lax.pmean(x, axis_name))
+            if axis_name
+            else (lambda x: x)
+        )
         rays_o = batch["rays_o"]
         rays_d = batch["rays_d"]
         pixels = batch["rgb"]
@@ -169,6 +191,10 @@ class NGPPropTrainer:
         (loss, (mse, p_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        grads = _pmean(grads)
+        loss = _pmean(loss)
+        mse = _pmean(mse)
+        p_loss = _pmean(p_loss)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params
         )

@@ -206,6 +206,62 @@ def test_tp_sharding_is_real():
     )
 
 
+def test_dp_prop_step_matches_single_device(mesh8):
+    """Proposal-network trainer under DP: same global batch -> same loss and
+    params as the single-chip step (stratified off; every loss term is a
+    mean over equal ray shards, so pmean-ed grads equal the global grad)."""
+    import optax  # noqa: F401  (trainer dependency)
+
+    from nerfacc_tpu.models.cp_field import CPDensityField
+    from nerfacc_tpu.parallel import make_dp_prop_step
+    from nerfacc_tpu.trainers import NGPPropTrainer
+
+    aabb = (-1.5, -1.5, -1.5, 1.5, 1.5, 1.5)
+
+    def make_trainer():
+        return NGPPropTrainer(
+            field=CPRadianceField(
+                aabb=aabb, resolutions=(16, 64), ranks=(8, 8)
+            ),
+            prop_fields=[
+                CPDensityField(
+                    aabb=aabb, resolutions=(16,), ranks=(8,), hidden_dim=16
+                )
+            ],
+            prop_samples=[32],
+            num_samples=16,
+            near_plane=2.0,
+            far_plane=6.0,
+            sampling_type="uniform",
+            stratified=False,
+        )
+
+    batch = _make_batch(64)
+
+    t_single = make_trainer()
+    s_single = t_single.init_state()
+    s_single, aux_single = t_single.train_step(
+        s_single, batch, requires_grad=True
+    )
+
+    t_dp = make_trainer()
+    s_dp = t_dp.init_state()
+    step_fn = make_dp_prop_step(t_dp, mesh8)
+    s_dp, aux_dp = step_fn(
+        s_dp, shard_batch(dict(batch), mesh8), requires_grad=True
+    )
+
+    np.testing.assert_allclose(
+        float(aux_dp["loss"]), float(aux_single["loss"]), rtol=1e-5
+    )
+    flat_s, _ = jax.tree_util.tree_flatten(s_single.params)
+    flat_d, _ = jax.tree_util.tree_flatten(s_dp.params)
+    for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        )
+
+
 def test_dp_multi_step_trains(mesh8):
     """A few DP steps must reduce the loss on a fittable constant target."""
     trainer = _make_trainer(stratified=False)

@@ -320,12 +320,37 @@ def _importance_sampling_varying(
     if max_n > 1:
         inner = 0.5 * (t[:, 1:] + t[:, :-1])
         first = jnp.maximum(t[:, :1] - 0.5 * (t[:, 1:2] - t[:, :1]), t_min)
-        # per-ray last sample index varies: the closing edge sits after
-        # sample n_r - 1; build all edges then mask
         lastv = jnp.minimum(
             t[:, -1:] + 0.5 * (t[:, -1:] - t[:, -2:-1]), t_max
         )
         edges = jnp.concatenate([first, inner, lastv], axis=-1)
+        # Exact closing edge for rays with n_r < max_n (pdf.cu:169-241
+        # semantics: each ray behaves as its own n = n_r problem).  Edge
+        # n_r sits past sample n_r - 1 at the same half-spacing rule the
+        # full-count path uses; the generic `inner` value at that position
+        # would read the ray's first PADDED (invalid) sample.  The samples
+        # are nondecreasing per ray, so the needed samples are masked-max
+        # reductions — no gathers.
+        sid_i = jnp.arange(max_n, dtype=jnp.int32)[None, :]
+        neg = -jnp.inf
+        t_last = jnp.max(
+            jnp.where(sid_i < n_per_ray[:, None], t, neg), axis=-1
+        )  # t[n_r - 1]
+        t_prev = jnp.max(
+            jnp.where(sid_i < n_per_ray[:, None] - 1, t, neg), axis=-1
+        )  # t[n_r - 2]
+        closing = jnp.minimum(
+            t_last + 0.5 * (t_last - t_prev), t_max[:, 0]
+        )
+        closing = jnp.where(n_per_ray >= 2, closing, t_max[:, 0])
+        epos = jnp.arange(max_n + 1, dtype=jnp.int32)[None, :]
+        edges = jnp.where(
+            epos == n_per_ray[:, None], closing[:, None], edges
+        )
+        # a 1-sample ray's edges are [t_min, t_max] (int-count n=1 rule)
+        edges = jnp.where(
+            (epos == 0) & (n_per_ray[:, None] <= 1), t_min, edges
+        )
     else:
         edges = jnp.concatenate([t_min, t_max], axis=-1)
     edge_valid = jnp.arange(max_n + 1)[None, :] <= n_per_ray[:, None]

@@ -141,6 +141,22 @@ def test_importance_sampling_varying_counts():
         )
         assert np.asarray(s_v.is_valid)[r, :nr].all()
         assert not np.asarray(s_v.is_valid)[r, nr:].any()
+        # exact edge semantics incl. the CLOSING edge at position n_r
+        # (pdf.cu:169-241: each ray behaves as its own n = n_r problem)
+        np.testing.assert_allclose(
+            iv_v.vals[r, : nr + 1], iv_r.vals[0], atol=1e-5
+        )
+
+    # n_r == 1 rays collapse to [t_min, t_max] (int-count n=1 rule)
+    n = jnp.array([1, 3, 1, 5], jnp.int32)
+    iv_v, s_v = importance_sampling(intervals, cdfs, n, max_intervals_per_ray=8)
+    for r in (0, 2):
+        np.testing.assert_allclose(
+            iv_v.vals[r, 0], intervals.vals[r, 0], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            iv_v.vals[r, 1], intervals.vals[r, -1], atol=1e-6
+        )
 
 
 def test_importance_sampling_stratified():

@@ -43,7 +43,10 @@ def main():
     from nerfacc_tpu.models.cp_field import CPDensityField, CPRadianceField
     from nerfacc_tpu.trainers import NGPPropTrainer
 
-    unbounded = args.scene in MIPNERF360_UNBOUNDED_SCENES
+    unbounded = (
+        args.scene in MIPNERF360_UNBOUNDED_SCENES
+        or args.scene == "procedural360"
+    )
     if unbounded:
         # reference: train_ngp_nerf_prop.py: 2 proposal nets [256, 96] -> 48,
         # lindisp, opaque background, far 1e3
@@ -75,6 +78,16 @@ def main():
         test_dataset = SubjectLoader(
             subject_id=args.scene, root_fp=args.data_root, split="test"
         )
+    elif args.scene == "procedural360":
+        from nerfacc_tpu.data import ProceduralUnboundedSceneLoader
+
+        train_dataset = ProceduralUnboundedSceneLoader(
+            split="train", num_rays=args.batch_size, seed=args.seed
+        )
+        test_dataset = ProceduralUnboundedSceneLoader(split="test", n_test=6)
+        # near/far from the scene's camera geometry (ring radius 1.8,
+        # content out to radius ~6.5), same planes the occ script uses
+        near_plane, far_plane = train_dataset.NEAR, train_dataset.FAR
     else:
         from nerfacc_tpu.data import ProceduralSceneLoader
 

@@ -124,6 +124,22 @@ class CPGridEncoder:
     # until the block path is measured on-chip.
     block_size: int = 0
     block_min_res: int = 256
+    # Autodiff-residual policy for each level's encode:
+    #   "none" — plain autodiff: XLA saves the (3, N, R) bf16 hat tensor as
+    #       a residual and re-reads it in the backward dline dot — at the
+    #       top level that is the single largest HBM stream in the field
+    #       block (~800 MB/step at N=2^18).
+    #   "dots" — jax.checkpoint(policy=dots_saveable): save only the
+    #       (3, N, rank) dot outputs; the hat weights are rematerialized in
+    #       the backward, where the iota-compare generation fuses into the
+    #       transposed dot operand (same fusion XLA applies to one-hot
+    #       spreads — see PERF.md cost model).  Trades ~N*R cheap VPU flops
+    #       for the full hat-tensor round trip.
+    #   "full" — jax.checkpoint with the default (save-nothing) policy:
+    #       measured SLOWER end-to-end in round 2 (17.7M vs 18.2M
+    #       samples/s) because the dots themselves are also re-run; kept as
+    #       a measured reference point.
+    remat: str = "none"
 
     @property
     def output_dim(self) -> int:
@@ -151,54 +167,64 @@ class CPGridEncoder:
         Returns:
             (N, sum(ranks)) features.
         """
-        # NOTE: wrapping the XLA path in jax.checkpoint (remat of the
-        # (3, N, R) hat-weight tensors) was measured SLOWER end-to-end
-        # (17.7M vs 18.2M samples/s) — the wins come from the fused kernel
-        # below, not from remat.
+        # NOTE on remat: full jax.checkpoint (save-nothing) was measured
+        # SLOWER end-to-end (17.7M vs 18.2M samples/s); the selective
+        # ``remat="dots"`` policy (save dot outputs, remat only the hat
+        # weights) is the one that targets the residual HBM stream.
         x = jnp.clip(x, 0.0, 1.0)
         kernel = self.kernel
         if kernel == "auto":
             kernel = "xla"
         feats = []
         for R, line in zip(self.resolutions, params["lines"]):
-            # rank from the param (not the config): under tensor parallelism
-            # each shard holds a rank-slice of every level's line table
-            rank = line.shape[-1]
-            if kernel == "fused" and not self.use_pallas:
-                from ..ops.cp_level import cp_level_encode
-
-                prod = cp_level_encode(x, line)
-            elif self.use_pallas:
-                from ..ops import hat_interp_matmul
-
-                prod = None
-                for axis in range(3):
-                    a = hat_interp_matmul(x[:, axis], line[axis])
-                    prod = a if prod is None else prod * a
-            elif (
-                self.block_size
-                and R >= self.block_min_res
-                and R % self.block_size == 0
-            ):
-                prod = self._block_level(x, line, R, rank)
-            else:
-                # one batched (3, N, R) @ (3, R, rank) dot per level instead
-                # of three separate dots — fewer kernel launches, same MXU
-                # work (launch overhead is ~0.1-0.2 ms each on this chip)
-                pos = x.T * (R - 1)  # (3, N)
-                grid = jnp.arange(R, dtype=x.dtype)
-                w = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(pos[:, :, None] - grid[None, None, :])
-                ).astype(self.compute_dtype)  # (3, N, R)
-                a = jax.lax.dot_general(
-                    w,
-                    line.astype(self.compute_dtype),
-                    (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=self.compute_dtype,
-                )  # (3, N, rank)
-                prod = (a[0] * a[1] * a[2]).astype(jnp.float32)
-            feats.append(prod)
+            fn = functools.partial(self._level_encode, R=R, kernel=kernel)
+            if self.remat == "dots":
+                fn = jax.checkpoint(
+                    fn, policy=jax.checkpoint_policies.dots_saveable
+                )
+            elif self.remat == "full":
+                fn = jax.checkpoint(fn)
+            feats.append(fn(x, line))
         return jnp.concatenate(feats, axis=-1)
+
+    def _level_encode(self, x, line, *, R: int, kernel: str) -> jnp.ndarray:
+        """One level's CP product (N, rank) — see ``__call__``."""
+        # rank from the param (not the config): under tensor parallelism
+        # each shard holds a rank-slice of every level's line table
+        rank = line.shape[-1]
+        if kernel == "fused" and not self.use_pallas:
+            from ..ops.cp_level import cp_level_encode
+
+            return cp_level_encode(x, line)
+        if self.use_pallas:
+            from ..ops import hat_interp_matmul
+
+            prod = None
+            for axis in range(3):
+                a = hat_interp_matmul(x[:, axis], line[axis])
+                prod = a if prod is None else prod * a
+            return prod
+        if (
+            self.block_size
+            and R >= self.block_min_res
+            and R % self.block_size == 0
+        ):
+            return self._block_level(x, line, R, rank)
+        # one batched (3, N, R) @ (3, R, rank) dot per level instead
+        # of three separate dots — fewer kernel launches, same MXU
+        # work (launch overhead is ~0.1-0.2 ms each on this chip)
+        pos = x.T * (R - 1)  # (3, N)
+        grid = jnp.arange(R, dtype=x.dtype)
+        w = jnp.maximum(
+            0.0, 1.0 - jnp.abs(pos[:, :, None] - grid[None, None, :])
+        ).astype(self.compute_dtype)  # (3, N, R)
+        a = jax.lax.dot_general(
+            w,
+            line.astype(self.compute_dtype),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=self.compute_dtype,
+        )  # (3, N, rank)
+        return (a[0] * a[1] * a[2]).astype(jnp.float32)
 
     def _block_level(
         self, x: jnp.ndarray, line: jnp.ndarray, R: int, rank: int
@@ -256,6 +282,8 @@ class CPRadianceField:
     # dim and the first base-MLP layer's rows are sharded (see parallel/tp.py).
     # None = single-shard semantics.
     tp_axis: Optional[str] = None
+    # Residual policy for the encoder levels (see CPGridEncoder.remat).
+    encoder_remat: str = "none"
 
     def __post_init__(self):
         object.__setattr__(
@@ -265,6 +293,7 @@ class CPRadianceField:
                 resolutions=tuple(self.resolutions),
                 ranks=tuple(self.ranks),
                 compute_dtype=self.compute_dtype,
+                remat=self.encoder_remat,
             ),
         )
 
@@ -347,6 +376,7 @@ class CPDensityField:
     hidden_dim: int = 64
     compute_dtype: Any = jnp.bfloat16
     tp_axis: Optional[str] = None
+    encoder_remat: str = "none"
 
     def __post_init__(self):
         object.__setattr__(
@@ -356,6 +386,7 @@ class CPDensityField:
                 resolutions=tuple(self.resolutions),
                 ranks=tuple(self.ranks),
                 compute_dtype=self.compute_dtype,
+                remat=self.encoder_remat,
             ),
         )
 

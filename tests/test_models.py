@@ -113,6 +113,24 @@ def test_cp_encoder_block_matches_dense():
             )
 
 
+def test_cp_encoder_remat_matches_plain():
+    """remat="dots"/"full" change only WHAT is saved for the backward, not
+    the math — values and line-table grads must match the plain path
+    bit-for-bit (the rematerialized hat weights are deterministic)."""
+    res, ranks = (8, 32), (4, 8)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3))
+    plain = CPGridEncoder(resolutions=res, ranks=ranks)
+    params = plain.init(jax.random.PRNGKey(0))
+    ref = np.asarray(plain(params, x))
+    gref = jax.grad(lambda p: jnp.sum(plain(p, x) ** 2))(params)
+    for mode in ("dots", "full"):
+        enc = CPGridEncoder(resolutions=res, ranks=ranks, remat=mode)
+        np.testing.assert_array_equal(ref, np.asarray(enc(params, x)))
+        g = jax.grad(lambda p: jnp.sum(enc(p, x) ** 2))(params)
+        for la, lb in zip(gref["lines"], g["lines"]):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_ngp_field_contract():
     field = NGPRadianceField(aabb=AABB, n_levels=4, log2_hashmap_size=12,
                              max_resolution=64)

@@ -174,6 +174,44 @@ def test_prop_trainer_multi_step_scan():
     assert int(state.step) == 4
 
 
+def test_prop_trainer_unbounded_360_config():
+    """The unbounded proposal configuration end-to-end at tiny shapes:
+    2-level proposal cascade, lindisp s->t transform, opaque background,
+    contracted fields (reference config: examples/train_ngp_nerf_prop.py —
+    prop nets [256, 96] -> 48, lindisp, opaque bkgd, far 1e3)."""
+    field = CPRadianceField(
+        aabb=tuple(AABB), resolutions=(8, 16), ranks=(4, 4), unbounded=True
+    )
+    props = [
+        CPDensityField(
+            aabb=tuple(AABB), resolutions=(8,), ranks=(4,), unbounded=True
+        )
+        for _ in range(2)
+    ]
+    trainer = NGPPropTrainer(
+        field=field,
+        prop_fields=props,
+        prop_samples=[32, 16],
+        num_samples=8,
+        near_plane=0.2,
+        far_plane=1e3,
+        sampling_type="lindisp",
+        opaque_bkgd=True,
+        max_steps=100,
+    )
+    state = trainer.init_state()
+    key = jax.random.PRNGKey(11)
+    for i, rg in enumerate([True, False, True]):
+        key, sub = jax.random.split(key)
+        state, aux = trainer.train_step(state, _tiny_batch(sub), rg)
+        assert np.isfinite(float(aux["loss"])), i
+    # the interlevel loss accrues on requires_grad steps (both levels cached)
+    assert float(aux["prop_loss"]) >= 0.0 and np.isfinite(
+        float(aux["prop_loss"])
+    )
+    assert int(state.step) == 3
+
+
 def test_occ_trainer_unbounded_360_config():
     """The mipnerf360 configuration end-to-end at tiny shapes: 4-level grid,
     cone-angle stepping, scene contraction (reference config:

@@ -68,6 +68,12 @@ def main():
     )
     parser.add_argument("--window_budget", type=int, default=None)
     parser.add_argument("--fine_probes", type=int, default=4)
+    parser.add_argument("--encoder_remat", type=str, default="none",
+                        choices=["none", "dots", "full"])
+    # K-Planes hybrid: append tri-plane levels to the CP field (quality
+    # tier; e.g. --plane_res 64 --plane_rank 16)
+    parser.add_argument("--plane_res", type=int, nargs="*", default=[])
+    parser.add_argument("--plane_rank", type=int, nargs="*", default=[])
     parser.add_argument("--sampled_occ_update", action="store_true",
                         help="reference-style sampled occupancy update "
                         "instead of the dense all-cell refresh")
@@ -158,7 +164,10 @@ def main():
         weight_decay = 1e-6
 
     if args.field == "cp":
-        field = CPRadianceField(aabb=tuple(aabb), unbounded=unbounded)
+        field = CPRadianceField(aabb=tuple(aabb), unbounded=unbounded,
+                                encoder_remat=args.encoder_remat,
+                                plane_resolutions=tuple(args.plane_res),
+                                plane_ranks=tuple(args.plane_rank))
     else:
         field = NGPRadianceField(aabb=tuple(aabb), unbounded=unbounded)
     trainer = NGPOccTrainer(

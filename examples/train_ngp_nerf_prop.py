@@ -27,6 +27,8 @@ def main():
     parser.add_argument("--log_every", type=int, default=1000)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--field", type=str, default="cp", choices=["cp", "ngp"])
+    parser.add_argument("--encoder_remat", type=str, default="none",
+                        choices=["none", "dots", "full"])
     # steps fused into one dispatch (lax.scan) — the ~10 ms tunnel dispatch
     # otherwise dominates the small per-step compute
     parser.add_argument("--steps_per_call", type=int, default=32)
@@ -97,9 +99,11 @@ def main():
         test_dataset = ProceduralSceneLoader(split="test")
 
     if args.field == "cp":
-        field = CPRadianceField(aabb=tuple(aabb), unbounded=unbounded)
+        field = CPRadianceField(aabb=tuple(aabb), unbounded=unbounded,
+                                encoder_remat=args.encoder_remat)
         prop_fields = [
-            CPDensityField(aabb=tuple(aabb), unbounded=unbounded)
+            CPDensityField(aabb=tuple(aabb), unbounded=unbounded,
+                           encoder_remat=args.encoder_remat)
             for _ in prop_samples
         ]
     else:

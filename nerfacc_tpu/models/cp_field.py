@@ -140,10 +140,23 @@ class CPGridEncoder:
     #       samples/s) because the dots themselves are also re-run; kept as
     #       a measured reference point.
     remat: str = "none"
+    # Tri-plane (K-Planes) levels — the expressiveness tier ABOVE the CP
+    # line products (PERF.md "CP vs hash" verdict: the gap to the hash field
+    # is the separable-line factorization, and a tri-plane closes it).  A
+    # bilinear plane lookup is normally a 4-neighbor 2-D gather — infeasible
+    # at speed on this memory system — but at plane resolutions <= ~128 it
+    # is exactly a dense chain the MXU eats: ``hat_u @ P.reshape(R, R*rank)``
+    # (one (N, R) x (R, R*rank) matmul) followed by a local v-contraction
+    # against ``hat_v`` (VPU elementwise-reduce that fuses into the matmul
+    # epilogue).  Zero gathers, exact bilinear semantics.  Per K-Planes the
+    # three plane features (xy, xz, yz) combine multiplicatively and are
+    # concatenated after the line levels.  Empty = pure CP (the default).
+    plane_resolutions: Sequence[int] = ()
+    plane_ranks: Sequence[int] = ()
 
     @property
     def output_dim(self) -> int:
-        return int(sum(self.ranks))
+        return int(sum(self.ranks)) + int(sum(self.plane_ranks))
 
     def init(self, key: jax.Array) -> Dict:
         lines = []
@@ -156,7 +169,18 @@ class CPGridEncoder:
                 + 0.1
                 * jax.random.normal(sub, (3, R, rank), jnp.float32)
             )
-        return {"lines": lines}
+        params = {"lines": lines}
+        if self.plane_resolutions:
+            planes = []
+            for R, rank in zip(self.plane_resolutions, self.plane_ranks):
+                key, sub = jax.random.split(key)
+                planes.append(
+                    1.0
+                    + 0.1
+                    * jax.random.normal(sub, (3, R, R, rank), jnp.float32)
+                )
+            params["planes"] = planes
+        return params
 
     def __call__(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
         """Encode points.
@@ -185,7 +209,46 @@ class CPGridEncoder:
             elif self.remat == "full":
                 fn = jax.checkpoint(fn)
             feats.append(fn(x, line))
+        for R, plane in zip(
+            self.plane_resolutions, params.get("planes", ())
+        ):
+            fn = functools.partial(self._plane_level_encode, R=R)
+            if self.remat == "dots":
+                fn = jax.checkpoint(
+                    fn, policy=jax.checkpoint_policies.dots_saveable
+                )
+            elif self.remat == "full":
+                fn = jax.checkpoint(fn)
+            feats.append(fn(x, plane))
         return jnp.concatenate(feats, axis=-1)
+
+    def _plane_level_encode(self, x, plane, *, R: int) -> jnp.ndarray:
+        """One tri-plane level: product of three bilinear plane features.
+
+        ``plane`` is (3, R, R, rank) for the (xy, xz, yz) planes.  Bilinear
+        interpolation of plane ``p`` at (u, v) is the separable chain
+        ``hat_u @ P_p @ hat_v`` — evaluated as one (N, R) x (R, R*rank)
+        MXU matmul and a (N, R, rank) * (N, R, 1) sum-reduce, not gathers.
+        """
+        rank = plane.shape[-1]
+        cd = self.compute_dtype
+        pairs = ((0, 1), (0, 2), (1, 2))  # xy, xz, yz
+        pos = x.T * (R - 1)  # (3, N)
+        grid = jnp.arange(R, dtype=x.dtype)
+        hat = jnp.maximum(
+            0.0, 1.0 - jnp.abs(pos[:, :, None] - grid[None, None, :])
+        ).astype(cd)  # (3, N, R) — per AXIS, reused across planes
+        hat_u = jnp.stack([hat[a] for a, _ in pairs])  # (3, N, R)
+        tbl = plane.astype(cd).reshape(3, R, R * rank)
+        t = jax.lax.dot_general(
+            hat_u,
+            tbl,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=cd,
+        ).reshape(3, -1, R, rank)  # (3, N, R, rank)
+        hat_v = jnp.stack([hat[b] for _, b in pairs])  # (3, N, R)
+        f = jnp.sum(t * hat_v[..., None], axis=2)  # (3, N, rank)
+        return (f[0] * f[1] * f[2]).astype(jnp.float32)
 
     def _level_encode(self, x, line, *, R: int, kernel: str) -> jnp.ndarray:
         """One level's CP product (N, rank) — see ``__call__``."""
@@ -275,6 +338,11 @@ class CPRadianceField:
     # is scene-dependent; these defaults won on the benchmark config.
     resolutions: Sequence[int] = (32, 128, 512)
     ranks: Sequence[int] = (32, 32, 32)
+    # Tri-plane levels appended to the line levels (K-Planes hybrid — see
+    # CPGridEncoder.plane_resolutions).  Empty = pure CP (bench default);
+    # the quality configs add e.g. plane_resolutions=(64,), plane_ranks=(16,).
+    plane_resolutions: Sequence[int] = ()
+    plane_ranks: Sequence[int] = ()
     geo_feat_dim: int = 15
     hidden_dim: int = 64
     compute_dtype: Any = jnp.bfloat16
@@ -286,6 +354,10 @@ class CPRadianceField:
     encoder_remat: str = "none"
 
     def __post_init__(self):
+        if self.plane_resolutions:
+            # TP shards the line tables' rank dim; plane sharding is not
+            # wired yet — keep the combination explicit rather than silent.
+            assert self.tp_axis is None, "tri-plane levels + TP not supported"
         object.__setattr__(
             self,
             "encoder",
@@ -294,6 +366,8 @@ class CPRadianceField:
                 ranks=tuple(self.ranks),
                 compute_dtype=self.compute_dtype,
                 remat=self.encoder_remat,
+                plane_resolutions=tuple(self.plane_resolutions),
+                plane_ranks=tuple(self.plane_ranks),
             ),
         )
 

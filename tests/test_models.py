@@ -131,6 +131,71 @@ def test_cp_encoder_remat_matches_plain():
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_triplane_encoder_matches_bilinear_gather():
+    """The matmul-chain plane encode (hat_u @ P, then the local
+    v-contraction) must equal naive 4-neighbor bilinear interpolation of
+    each plane, multiplied across the three planes — exactly in f32."""
+    R, rank = 16, 4
+    enc = CPGridEncoder(
+        resolutions=(8,),
+        ranks=(2,),
+        plane_resolutions=(R,),
+        plane_ranks=(rank,),
+        compute_dtype=jnp.float32,
+    )
+    params = enc.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    # grid-exact and boundary positions included
+    x = x.at[:4, 1].set(jnp.array([0.0, 1.0, 5 / (R - 1), 0.5]))
+    out = np.asarray(enc(params, x))  # (64, 2 + 4)
+    plane = np.asarray(params["planes"][0])  # (3, R, R, rank)
+
+    def bilerp(P, u, v):
+        pu, pv = u * (R - 1), v * (R - 1)
+        i0 = np.clip(np.floor(pu).astype(int), 0, R - 1)
+        j0 = np.clip(np.floor(pv).astype(int), 0, R - 1)
+        i1, j1 = np.minimum(i0 + 1, R - 1), np.minimum(j0 + 1, R - 1)
+        fu, fv = pu - i0, pv - j0
+        return (
+            P[i0, j0] * (1 - fu)[:, None] * (1 - fv)[:, None]
+            + P[i1, j0] * fu[:, None] * (1 - fv)[:, None]
+            + P[i0, j1] * (1 - fu)[:, None] * fv[:, None]
+            + P[i1, j1] * fu[:, None] * fv[:, None]
+        )
+
+    xs = np.asarray(x)
+    want = (
+        bilerp(plane[0], xs[:, 0], xs[:, 1])
+        * bilerp(plane[1], xs[:, 0], xs[:, 2])
+        * bilerp(plane[2], xs[:, 1], xs[:, 2])
+    )
+    np.testing.assert_allclose(out[:, 2:], want, rtol=1e-5, atol=1e-6)
+    # output_dim accounting + gradient flow into the plane tables
+    assert enc.output_dim == 6
+    g = jax.grad(lambda p: jnp.sum(enc(p, x) ** 2))(params)
+    assert float(jnp.abs(g["planes"][0]).sum()) > 0
+
+
+def test_triplane_field_trains():
+    """CPRadianceField with a plane level: forward shapes, finite grads."""
+    field = CPRadianceField(
+        aabb=AABB,
+        resolutions=(8,),
+        ranks=(4,),
+        plane_resolutions=(8,),
+        plane_ranks=(4,),
+    )
+    p = field.init(jax.random.PRNGKey(2))
+    pos = jax.random.uniform(jax.random.PRNGKey(3), (32, 3), minval=-1, maxval=1)
+    dirs = pos / jnp.linalg.norm(pos, axis=-1, keepdims=True)
+    rgb, dens = field(p, pos, dirs)
+    assert rgb.shape == (32, 3) and dens.shape == (32, 1)
+    g = jax.grad(lambda p: jnp.sum(field(p, pos, dirs)[0]))(p)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(v)).all() for v in flat)
+    assert float(jnp.abs(g["encoder"]["planes"][0]).sum()) > 0
+
+
 def test_ngp_field_contract():
     field = NGPRadianceField(aabb=AABB, n_levels=4, log2_hashmap_size=12,
                              max_resolution=64)

@@ -74,6 +74,7 @@ def main():
     # tier; e.g. --plane_res 64 --plane_rank 16)
     parser.add_argument("--plane_res", type=int, nargs="*", default=[])
     parser.add_argument("--plane_rank", type=int, nargs="*", default=[])
+    parser.add_argument("--field_reg_weight", type=float, default=0.0)
     parser.add_argument("--sampled_occ_update", action="store_true",
                         help="reference-style sampled occupancy update "
                         "instead of the dense all-cell refresh")
@@ -175,6 +176,7 @@ def main():
         aabb=aabb,
         max_steps=args.max_steps,
         weight_decay=weight_decay,
+        field_reg_weight=args.field_reg_weight,
         sample_budget=args.target_sample_batch_size,
         max_samples_per_ray=1024,
         seed=args.seed,

@@ -222,6 +222,21 @@ class CPGridEncoder:
             feats.append(fn(x, plane))
         return jnp.concatenate(feats, axis=-1)
 
+    def param_regularizer(self, params: Dict) -> jnp.ndarray:
+        """Total-variation regularizer over the grid tables (K-Planes-style
+        smoothness prior): mean squared adjacent-difference along each grid
+        axis of every line and plane table.  Pure elementwise work on the
+        (small) tables — negligible cost next to the encode."""
+        terms = []
+        for line in params["lines"]:
+            d = line[:, 1:, :] - line[:, :-1, :]
+            terms.append(jnp.mean(d * d))
+        for plane in params.get("planes", ()):
+            du = plane[:, 1:, :, :] - plane[:, :-1, :, :]
+            dv = plane[:, :, 1:, :] - plane[:, :, :-1, :]
+            terms.append(jnp.mean(du * du) + jnp.mean(dv * dv))
+        return sum(terms)
+
     def _plane_level_encode(self, x, plane, *, R: int) -> jnp.ndarray:
         """One tri-plane level: product of three bilinear plane features.
 
@@ -429,6 +444,12 @@ class CPRadianceField:
 
     def query_opacity(self, params, x, step_size: float):
         return self.query_density(params, x) * step_size
+
+    def param_regularizer(self, params) -> jnp.ndarray:
+        """TV smoothness over the encoder tables (see
+        :meth:`CPGridEncoder.param_regularizer`); wire via the trainer's
+        ``field_reg_weight``."""
+        return self.encoder.param_regularizer(params["encoder"])
 
     def __call__(self, params, positions, directions=None):
         density, embedding = self.query_density(

@@ -146,6 +146,10 @@ class NGPOccTrainer:
     # Mip-NeRF 360 distortion regularization weight (0 disables;
     # reference: nerfacc/losses.py:7-41)
     distortion_loss_weight: float = 0.0
+    # Field-parameter smoothness regularizer weight (0 disables): adds
+    # ``weight * field.param_regularizer(params)`` to the loss — e.g. the
+    # K-Planes TV prior over the CP/tri-plane grid tables.
+    field_reg_weight: float = 0.0
     adam_eps: float = 1e-15
     warmup_lr_steps: int = 100
     seed: int = 42
@@ -424,6 +428,14 @@ class NGPOccTrainer:
                 loss = loss + self.distortion_loss_weight * jnp.sum(
                     dist * ray_ok
                 ) / n_ok
+            if self.field_reg_weight > 0:
+                # params are replicated under DP and the per-shard losses
+                # are psum-ed: divide by the axis size so the global loss
+                # carries the regularizer exactly once.
+                reg = self.field.param_regularizer(params)
+                if axis_name is not None:
+                    reg = reg / jax.lax.psum(1.0, axis_name)
+                loss = loss + self.field_reg_weight * reg
             return loss, (mse, jnp.sum(ray_ok))
 
         (loss, (mse, n_rays_ok)), grads = jax.value_and_grad(

@@ -176,6 +176,23 @@ def test_triplane_encoder_matches_bilinear_gather():
     assert float(jnp.abs(g["planes"][0]).sum()) > 0
 
 
+def test_param_regularizer_tv():
+    """TV regularizer: zero on constant tables, positive otherwise, and
+    differentiable (smoothing gradient points toward the neighbors)."""
+    enc = CPGridEncoder(
+        resolutions=(8,), ranks=(4,),
+        plane_resolutions=(8,), plane_ranks=(4,),
+    )
+    params = enc.init(jax.random.PRNGKey(0))
+    flat = jax.tree_util.tree_map(jnp.ones_like, params)
+    assert float(enc.param_regularizer(flat)) == 0.0
+    r = float(enc.param_regularizer(params))
+    assert r > 0
+    g = jax.grad(lambda p: enc.param_regularizer(p))(params)
+    assert float(jnp.abs(g["lines"][0]).sum()) > 0
+    assert float(jnp.abs(g["planes"][0]).sum()) > 0
+
+
 def test_triplane_field_trains():
     """CPRadianceField with a plane level: forward shapes, finite grads."""
     field = CPRadianceField(

@@ -174,6 +174,28 @@ def test_prop_trainer_multi_step_scan():
     assert int(state.step) == 4
 
 
+def test_occ_trainer_field_reg():
+    """field_reg_weight adds the TV prior to the fused step: the loss gains
+    the reg term and the step stays finite (smoothing grads reach the
+    tables even where no samples land)."""
+    field = _tiny_field()
+    kw = dict(
+        field=field, aabb=AABB, grid_resolution=16,
+        render_step_size=0.05, sample_budget=2048,
+        max_samples_per_ray=128, warmup_steps=2, update_interval=2,
+        max_steps=50, stratified=False,
+    )
+    t0 = NGPOccTrainer(**kw)
+    t1 = NGPOccTrainer(**kw, field_reg_weight=10.0)
+    batch = _tiny_batch(jax.random.PRNGKey(5))
+    s0, a0 = t0.train_step(t0.init_state(), batch)
+    s1, a1 = t1.train_step(t1.init_state(), batch)
+    l0, l1 = float(a0["loss"]), float(a1["loss"])
+    assert np.isfinite(l1)
+    reg = float(field.param_regularizer(t1.init_state().params))
+    np.testing.assert_allclose(l1 - l0, 10.0 * reg, rtol=1e-3)
+
+
 def test_prop_trainer_unbounded_360_config():
     """The unbounded proposal configuration end-to-end at tiny shapes:
     2-level proposal cascade, lindisp s->t transform, opaque background,

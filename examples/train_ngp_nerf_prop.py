@@ -32,6 +32,7 @@ def main():
     # steps fused into one dispatch (lax.scan) — the ~10 ms tunnel dispatch
     # otherwise dominates the small per-step compute
     parser.add_argument("--steps_per_call", type=int, default=32)
+    parser.add_argument("--eval_images", type=int, default=None)
     args = parser.parse_args()
 
     import jax
@@ -162,8 +163,11 @@ def main():
                 f"samples/s={rate:.3g}"
             )
 
-    m = trainer.eval_metrics(state, test_dataset)
-    print(f"evaluation: psnr_avg={m['psnr']:.2f} ssim_avg={m['ssim']:.4f}")
+    if args.eval_images != 0:
+        m = trainer.eval_metrics(
+            state, test_dataset, max_images=args.eval_images
+        )
+        print(f"evaluation: psnr_avg={m['psnr']:.2f} ssim_avg={m['ssim']:.4f}")
 
 
 if __name__ == "__main__":

@@ -80,6 +80,7 @@ class NGPPropTrainer:
             self._train_steps_impl, donate_argnums=(0,)
         )
         self._render_chunk = jax.jit(self._render_chunk_impl)
+        self._render_chunks_scan = jax.jit(self._render_chunks_scan_impl)
 
     def init_state(self) -> PropTrainState:
         key = jax.random.PRNGKey(self.seed)
@@ -242,25 +243,34 @@ class NGPPropTrainer:
         )
         return colors, opacities, depths
 
+    def _render_chunks_scan_impl(self, params, rays_o, rays_d, bkgd):
+        """Whole image in ONE dispatch: ``lax.scan`` over (n_chunks, chunk)
+        ray blocks.  Per-call dispatch overhead on the tunnel is ~28 ms; a
+        320^2 frame at chunk=8192 would otherwise pay it 13 times (the occ
+        trainer's pooled eval renderer made the same move)."""
+
+        def body(_, od):
+            o, d = od
+            c, op, dep = self._render_chunk_impl(params, o, d, bkgd)
+            return None, (c, op, dep)
+
+        _, outs = jax.lax.scan(body, None, (rays_o, rays_d))
+        return outs
+
     def render_image(self, state, data: Dict, chunk: int = 8192) -> np.ndarray:
         rays_o = np.asarray(data["rays_o"])
         rays_d = np.asarray(data["rays_d"])
         bkgd = jnp.asarray(data["color_bkgd"])
-        out = []
         n = rays_o.shape[0]
-        for s in range(0, n, chunk):
-            o = rays_o[s : s + chunk]
-            d = rays_d[s : s + chunk]
-            pad = chunk - o.shape[0]
-            if pad:
-                o = np.pad(o, ((0, pad), (0, 0)), constant_values=1e8)
-                d = np.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-            c, _, _ = self._render_chunk(
-                state.params, jnp.asarray(o), jnp.asarray(d), bkgd
-            )
-            c = np.asarray(c)
-            out.append(c[: chunk - pad] if pad else c)
-        return np.concatenate(out)
+        n_chunks = max(1, -(-n // chunk))
+        pad = n_chunks * chunk - n
+        if pad:
+            rays_o = np.pad(rays_o, ((0, pad), (0, 0)), constant_values=1e8)
+            rays_d = np.pad(rays_d, ((0, pad), (0, 0)), constant_values=1.0)
+        o = jnp.asarray(rays_o).reshape(n_chunks, chunk, 3)
+        d = jnp.asarray(rays_d).reshape(n_chunks, chunk, 3)
+        colors, _, _ = self._render_chunks_scan(state.params, o, d, bkgd)
+        return np.asarray(colors).reshape(n_chunks * chunk, 3)[:n]
 
     def eval_metrics(self, state, dataset, max_images=None) -> dict:
         """Mean PSNR and SSIM (the reference reports PSNR + LPIPS; SSIM

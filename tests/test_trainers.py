@@ -174,6 +174,29 @@ def test_prop_trainer_multi_step_scan():
     assert int(state.step) == 4
 
 
+def test_prop_render_image_scan_matches_chunks():
+    """The single-dispatch scan renderer must equal per-chunk rendering,
+    including the padded tail chunk."""
+    field = _tiny_field()
+    props = [CPDensityField(aabb=tuple(AABB), resolutions=(8,), ranks=(4,))]
+    trainer = NGPPropTrainer(
+        field=field, prop_fields=props, prop_samples=[16], num_samples=8,
+        near_plane=1.5, far_plane=3.5, sampling_type="uniform", max_steps=100,
+    )
+    state = trainer.init_state()
+    batch = _tiny_batch(jax.random.PRNGKey(9), n_rays=100)  # 100 % 32 != 0
+    data = {k: np.asarray(v) for k, v in batch.items()}
+    img = trainer.render_image(state, data, chunk=32)
+    assert img.shape == (100, 3)
+    ref, _, _ = trainer._render_chunk(
+        state.params,
+        jnp.asarray(data["rays_o"][:32]),
+        jnp.asarray(data["rays_d"][:32]),
+        jnp.asarray(data["color_bkgd"]),
+    )
+    np.testing.assert_allclose(img[:32], np.asarray(ref), atol=1e-6)
+
+
 def test_occ_trainer_field_reg():
     """field_reg_weight adds the TV prior to the fused step: the loss gains
     the reg term and the step stays finite (smoothing grads reach the

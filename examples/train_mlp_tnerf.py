@@ -25,6 +25,16 @@ def main():
     parser.add_argument("--log_every", type=int, default=5000)
     parser.add_argument("--steps_per_call", type=int, default=8)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument(
+        "--field",
+        type=str,
+        default="tnerf",
+        choices=["tnerf", "kplanes"],
+        help="tnerf = time-warp MLP (reference model); kplanes = the "
+        "space-time-plane factorized field (the reference's K-Planes "
+        "benchmark family, all-matmul on TPU)",
+    )
+    parser.add_argument("--field_reg_weight", type=float, default=0.0)
     args = parser.parse_args()
 
     import jax
@@ -59,20 +69,28 @@ def main():
         )
         test_dataset = ProceduralDynamicSceneLoader(split="test")
 
-    field = TNeRFRadianceField()
+    if args.field == "kplanes":
+        from nerfacc_tpu.models import KPlanesRadianceField
+
+        field = KPlanesRadianceField(aabb=tuple(aabb))
+        lr, adam_eps, warmup = 1e-2, 1e-15, 100
+    else:
+        field = TNeRFRadianceField()
+        lr, adam_eps, warmup = 5e-4, 1e-8, 0
     trainer = NGPOccTrainer(
         field=field,
         aabb=aabb,
         max_steps=args.max_steps,
         render_step_size=5e-3,
-        lr=5e-4,
+        lr=lr,
         weight_decay=0.0,
-        adam_eps=1e-8,
-        warmup_lr_steps=0,
+        adam_eps=adam_eps,
+        warmup_lr_steps=warmup,
         sample_budget=args.target_sample_batch_size,
         max_samples_per_ray=1024,
         time_dependent=True,
         timestamps=train_dataset.timestamps,
+        field_reg_weight=args.field_reg_weight,
         seed=args.seed,
     )
     state = trainer.init_state()

@@ -294,6 +294,24 @@ class ProceduralSceneLoader:
             "color_bkgd": color_bkgd,
         }
 
+    def pixel_batch(self, index: int):
+        """Pixel-level batch for pose-optimizing trainers (BARF): the rays
+        cannot be precomputed by the loader because the poses are being
+        learned, so the trainer receives raw ``(img_ids, x, y)`` pixel
+        coordinates plus the composited target colors."""
+        image_id, x, y, color_bkgd = self._select_pixels(index)
+        rgba = self.images[image_id, y, x].astype(np.float32) / 255.0
+        pixels = rgba[..., :3] * rgba[..., 3:] + color_bkgd * (
+            1.0 - rgba[..., 3:]
+        )
+        return {
+            "img_ids": np.asarray(image_id, np.int32),
+            "x": np.asarray(x, np.int32),
+            "y": np.asarray(y, np.int32),
+            "rgb": pixels,
+            "color_bkgd": color_bkgd,
+        }
+
 
 class ProceduralUnboundedSceneLoader(ProceduralSceneLoader):
     """Unbounded (Mip-NeRF-360-role) analytic scene: a central object inside

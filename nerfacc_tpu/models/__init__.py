@@ -8,9 +8,26 @@ from .mlp import (
     TNeRFRadianceField,
     VanillaNeRFRadianceField,
 )
+from .kplanes import KPlanesEncoder, KPlanesRadianceField
 from .ngp import NGPDensityField, NGPRadianceField, contract_to_unisphere, trunc_exp
+from .pose import (
+    coarse_to_fine_alpha,
+    compose_pose,
+    perturb_poses,
+    pose_registration_errors,
+    se3_exp,
+    umeyama_alignment,
+)
 
 __all__ = [
+    "KPlanesEncoder",
+    "KPlanesRadianceField",
+    "coarse_to_fine_alpha",
+    "compose_pose",
+    "perturb_poses",
+    "pose_registration_errors",
+    "se3_exp",
+    "umeyama_alignment",
     "HashGridEncoder",
     "SinusoidalEncoder",
     "spherical_harmonics_16",

@@ -192,7 +192,15 @@ class SinusoidalEncoder:
             int(self.use_identity) + (self.max_deg - self.min_deg) * 2
         ) * self.x_dim
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, alpha=None) -> jnp.ndarray:
+        """Encode; ``alpha`` enables the BARF coarse-to-fine window.
+
+        With ``alpha`` set (a scalar in ``[0, max_deg - min_deg]``), frequency
+        band ``k`` (0-based from ``min_deg``) is weighted by the smooth window
+        ``(1 - cos(pi * clip(alpha - k, 0, 1))) / 2`` — 0 until the schedule
+        reaches the band, 1 once it passes (BARF eq. 14).  The identity part
+        is never windowed.
+        """
         if self.max_deg == self.min_deg:
             return x
         scales = jnp.asarray(
@@ -202,6 +210,13 @@ class SinusoidalEncoder:
             x.shape[:-1] + (-1,)
         )
         latent = jnp.sin(jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=-1))
+        if alpha is not None:
+            k = jnp.arange(self.max_deg - self.min_deg, dtype=latent.dtype)
+            w = 0.5 * (
+                1.0 - jnp.cos(jnp.pi * jnp.clip(alpha - k, 0.0, 1.0))
+            )
+            w = jnp.repeat(w, self.x_dim)  # degree-major layout of xb
+            latent = latent * jnp.concatenate([w, w], axis=-1)
         if self.use_identity:
             latent = jnp.concatenate([x, latent], axis=-1)
         return latent

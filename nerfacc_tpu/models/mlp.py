@@ -238,8 +238,10 @@ class VanillaNeRFRadianceField:
         # values (reference: mlp.py:228-233).
         return self.query_density(params, x) * step_size
 
-    def query_density(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-        h = self.posi_encoder(x)
+    def query_density(
+        self, params: Dict, x: jnp.ndarray, pe_alpha=None
+    ) -> jnp.ndarray:
+        h = self.posi_encoder(x, alpha=pe_alpha)
         sigma = self.mlp.query_density(params, h)
         return jax.nn.relu(sigma)
 
@@ -248,8 +250,12 @@ class VanillaNeRFRadianceField:
         params: Dict,
         x: jnp.ndarray,
         condition: Optional[jnp.ndarray] = None,
+        pe_alpha=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        h = self.posi_encoder(x)
+        """``pe_alpha`` is the BARF coarse-to-fine positional-encoding window
+        (see :func:`~nerfacc_tpu.models.pose.coarse_to_fine_alpha`); ``None``
+        keeps the full spectrum (plain NeRF)."""
+        h = self.posi_encoder(x, alpha=pe_alpha)
         cond = self.view_encoder(condition) if condition is not None else None
         rgb, sigma = self.mlp(params, h, cond)
         return jax.nn.sigmoid(rgb), jax.nn.relu(sigma)

@@ -1,0 +1,376 @@
+"""BARF-style joint field + camera-pose training.
+
+The reference's camera benchmark family (reference:
+docs/source/examples/camera/barf.rst:10-40 — BARF + OccGrid on
+nerf-synthetic: PSNR 30.11 with pose errors R 0.070 deg / T 0.0035 from
+noisy initial poses).  The benchmark code itself lives in an external
+submodule; this trainer is the TPU-native in-tree equivalent:
+
+- per-image SE(3) corrections (:func:`~nerfacc_tpu.models.pose.se3_exp`)
+  composed with the noisy camera-to-world matrices *inside* the jitted step,
+  so pose gradients flow through ray generation into the photometric loss;
+- BARF's coarse-to-fine positional-encoding window
+  (:func:`~nerfacc_tpu.models.pose.coarse_to_fine_alpha` feeding the
+  ``pe_alpha`` argument of the vanilla field);
+- occupancy-grid sampling (``sampling_padded``) with the standard EMA
+  update — the same estimator the reference benchmark uses;
+- two optimizer groups (field / poses) with independent exponential decays,
+  via ``optax.multi_transform`` in ONE update (the upstream BARF uses two
+  torch optimizers).
+
+Rays are generated from pixel coordinates per step: a batch is
+``{img_ids, x, y, rgb, color_bkgd}`` (integer pixels, not precomputed rays —
+the poses are being optimized, so rays cannot come from the loader).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..estimators.occ_grid import (
+    OccGridState,
+    init_occ_grid,
+    sampling_padded,
+    update_occ_grid,
+)
+from ..models.pose import compose_pose, coarse_to_fine_alpha, se3_exp
+from ..volrend import rendering
+from .ngp_occ import smooth_l1_loss
+
+
+class BARFTrainState(NamedTuple):
+    params: Any          # {"field": ..., "pose_deltas": (n_images, 6)}
+    opt_state: Any
+    occ_state: OccGridState
+    key: jax.Array
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass
+class BARFTrainer:
+    """Joint radiance-field + camera-pose trainer.
+
+    Args:
+        field: a ``pe_alpha``-aware field (``VanillaNeRFRadianceField``).
+        camtoworlds_init: (n_images, 3, 4) NOISY initial camera-to-world
+            poses (OpenGL convention, matching the data loaders).
+        K: (3, 3) shared pinhole intrinsics.
+        pe_c2f: (start_frac, end_frac) of the coarse-to-fine PE anneal, or
+            None to train with the full spectrum from step 0.
+    """
+
+    field: Any
+    camtoworlds_init: np.ndarray
+    K: np.ndarray
+    aabb: Tuple[float, ...]
+    near_plane: float = 0.0
+    far_plane: float = 1e10
+    render_step_size: float = 5e-3
+    grid_resolution: int = 128
+    grid_nlvl: int = 1
+    max_samples_per_ray: int = 1024
+    max_steps: int = 20000
+    lr_field: float = 5e-4
+    lr_field_end: float = 1e-4
+    lr_pose: float = 1e-3
+    lr_pose_end: float = 1e-5
+    pe_c2f: Optional[Tuple[float, float]] = (0.1, 0.5)
+    # Pose updates are disabled before this step.  Joint optimization from a
+    # randomly-initialized field lets the poses absorb early photometric
+    # noise and drift AWAY from the truth (measured: GT-initialized poses
+    # drift to 5 deg within 200 steps at lr 3e-3); freezing them while the
+    # field fits coarse structure makes the subsequent pose gradients point
+    # home.  BARF gets the same effect from its very long schedules.
+    pose_start_step: int = 200
+    occ_thre: float = 1e-2
+    ema_decay: float = 0.95
+    warmup_steps: int = 256
+    update_interval: int = 16
+    early_stop_eps: float = 1e-4
+    alpha_thre: float = 0.0
+    stratified: bool = True
+    seed: int = 42
+
+    def __post_init__(self):
+        self.n_images = int(np.asarray(self.camtoworlds_init).shape[0])
+        self._c2w_init = jnp.asarray(
+            np.asarray(self.camtoworlds_init, np.float32)[:, :3, :4]
+        )
+        self._K = jnp.asarray(np.asarray(self.K, np.float32))
+        field_sched = optax.exponential_decay(
+            self.lr_field,
+            self.max_steps,
+            self.lr_field_end / self.lr_field,
+        )
+        pose_sched = optax.exponential_decay(
+            self.lr_pose, self.max_steps, self.lr_pose_end / self.lr_pose
+        )
+        self.optimizer = optax.multi_transform(
+            {
+                "field": optax.adam(field_sched, eps=1e-8),
+                "pose": optax.adam(pose_sched, eps=1e-8),
+            },
+            {"field": "field", "pose_deltas": "pose"},
+        )
+        self._train_steps = jax.jit(self._train_steps_impl, donate_argnums=(0,))
+        self._render_chunks_scan = jax.jit(self._render_chunks_scan_impl)
+
+    def init_state(self) -> BARFTrainState:
+        key = jax.random.PRNGKey(self.seed)
+        k_field, key = jax.random.split(key)
+        params = {
+            "field": self.field.init(k_field),
+            "pose_deltas": jnp.zeros((self.n_images, 6), jnp.float32),
+        }
+        occ_state = init_occ_grid(
+            self.aabb, self.grid_resolution, self.grid_nlvl
+        )
+        return BARFTrainState(
+            params,
+            self.optimizer.init(params),
+            occ_state,
+            key,
+            jnp.zeros((), jnp.int32),
+        )
+
+    # -- ray generation (differentiable w.r.t. pose deltas) ---------------
+    def _rays_from_pixels(self, pose_deltas, img_ids, x, y):
+        refined = compose_pose(se3_exp(pose_deltas), self._c2w_init)
+        c2w = jnp.take(refined, img_ids, axis=0)  # (n_rays, 3, 4)
+        fx, fy = self._K[0, 0], self._K[1, 1]
+        cx, cy = self._K[0, 2], self._K[1, 2]
+        dirs = jnp.stack(
+            [
+                (x.astype(jnp.float32) + 0.5 - cx) / fx,
+                (y.astype(jnp.float32) + 0.5 - cy) / fy * -1.0,
+                -jnp.ones_like(x, jnp.float32),
+            ],
+            axis=-1,
+        )  # OpenGL convention — matches the data loaders
+        rays_d = jnp.einsum("nij,nj->ni", c2w[..., :3], dirs)
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        rays_o = c2w[..., 3]
+        return rays_o, rays_d
+
+    def _pe_alpha(self, step):
+        if self.pe_c2f is None:
+            return None
+        max_deg = self.field.posi_encoder.max_deg
+        return coarse_to_fine_alpha(
+            step.astype(jnp.float32),
+            self.max_steps,
+            max_deg,
+            self.pe_c2f[0],
+            self.pe_c2f[1],
+        )
+
+    # -- the fused step ----------------------------------------------------
+    def _step_body(self, state: BARFTrainState, batch: Dict):
+        key, k_occ, k_strat = jax.random.split(state.key, 3)
+        params = state.params
+        alpha = self._pe_alpha(state.step)
+
+        def occ_eval_fn(pts):
+            return self.field.query_density(
+                params["field"], pts, pe_alpha=alpha
+            )[..., 0] * self.render_step_size
+
+        occ_state = jax.lax.cond(
+            state.step % self.update_interval == 0,
+            lambda s: update_occ_grid(
+                s,
+                k_occ,
+                state.step,
+                occ_eval_fn,
+                occ_thre=self.occ_thre,
+                ema_decay=self.ema_decay,
+                warmup_steps=self.warmup_steps,
+                dense=True,
+            ),
+            lambda s: s,
+            state.occ_state,
+        )
+
+        img_ids = batch["img_ids"]
+        pixels = batch["rgb"]
+        render_bkgd = batch["color_bkgd"]
+
+        def loss_fn(p):
+            rays_o, rays_d = self._rays_from_pixels(
+                p["pose_deltas"], img_ids, batch["x"], batch["y"]
+            )
+            # traversal / visibility filtering: no gradients
+            ro_ng = jax.lax.stop_gradient(rays_o)
+            rd_ng = jax.lax.stop_gradient(rays_d)
+
+            def sigma_fn(t0, t1, rid):
+                t_mid = 0.5 * (t0 + t1)
+                pos = ro_ng[:, None, :] + t_mid[..., None] * rd_ng[:, None, :]
+                return self.field.query_density(
+                    p["field"], pos.reshape(-1, 3), pe_alpha=alpha
+                ).reshape(t0.shape)
+
+            res = sampling_padded(
+                occ_state,
+                ro_ng,
+                rd_ng,
+                sigma_fn=sigma_fn,
+                near_plane=self.near_plane,
+                far_plane=self.far_plane,
+                render_step_size=self.render_step_size,
+                early_stop_eps=self.early_stop_eps,
+                alpha_thre=self.alpha_thre,
+                stratified=self.stratified,
+                key=k_strat,
+                max_samples=self.max_samples_per_ray,
+            )
+
+            def rgb_sigma_fn(t0, t1, rid):
+                t_mid = 0.5 * (t0 + t1)
+                # DIFFERENTIABLE rays: pose gradients enter here
+                pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+                dirs = jnp.broadcast_to(rays_d[:, None, :], pos.shape)
+                rgb, sigma = self.field(
+                    p["field"],
+                    pos.reshape(-1, 3),
+                    dirs.reshape(-1, 3),
+                    pe_alpha=alpha,
+                )
+                return rgb.reshape(t0.shape + (3,)), sigma.reshape(t0.shape)
+
+            colors, _, _, _ = rendering(
+                res.t_starts,
+                res.t_ends,
+                rgb_sigma_fn=rgb_sigma_fn,
+                render_bkgd=render_bkgd,
+                masks=res.valid,
+            )
+            loss = smooth_l1_loss(colors, pixels)
+            mse = jnp.mean((colors - pixels) ** 2)
+            n_samples = jnp.sum(res.valid)
+            return loss, (mse, n_samples)
+
+        (loss, (mse, n_samples)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        pose_grad_norm = optax.global_norm(grads["pose_deltas"])
+        pose_on = (state.step >= self.pose_start_step).astype(jnp.float32)
+        grads = dict(grads, pose_deltas=grads["pose_deltas"] * pose_on)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, params
+        )
+        params = optax.apply_updates(params, updates)
+        new_state = BARFTrainState(
+            params, opt_state, occ_state, key, state.step + 1
+        )
+        aux = {
+            "loss": loss,
+            "mse": mse,
+            "n_total_samples": n_samples,
+            "pose_grad_norm": pose_grad_norm,
+        }
+        return new_state, aux
+
+    def _train_steps_impl(self, state, batches: Dict):
+        def body(st, b):
+            return self._step_body(st, b)
+
+        return jax.lax.scan(body, state, batches)
+
+    def train_steps(self, state, batches: Dict):
+        """Run ``M`` fused steps; batch leaves are stacked on a leading axis."""
+        batches = {k: jnp.asarray(v) for k, v in batches.items()}
+        return self._train_steps(state, batches)
+
+    # -- evaluation ----------------------------------------------------------
+    def refined_poses(self, state) -> np.ndarray:
+        """Current (n_images, 3, 4) camera-to-world estimates."""
+        refined = compose_pose(
+            se3_exp(state.params["pose_deltas"]), self._c2w_init
+        )
+        return np.asarray(refined)
+
+    def _render_chunk_impl(self, params, occ_state, rays_o, rays_d, bkgd):
+        def sigma_fn(t0, t1, rid):
+            t_mid = 0.5 * (t0 + t1)
+            pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+            return self.field.query_density(
+                params["field"], pos.reshape(-1, 3)
+            ).reshape(t0.shape)
+
+        res = sampling_padded(
+            occ_state,
+            rays_o,
+            rays_d,
+            sigma_fn=sigma_fn,
+            near_plane=self.near_plane,
+            far_plane=self.far_plane,
+            render_step_size=self.render_step_size,
+            early_stop_eps=self.early_stop_eps,
+            alpha_thre=self.alpha_thre,
+            max_samples=self.max_samples_per_ray,
+        )
+
+        def rgb_sigma_fn(t0, t1, rid):
+            t_mid = 0.5 * (t0 + t1)
+            pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+            dirs = jnp.broadcast_to(rays_d[:, None, :], pos.shape)
+            rgb, sigma = self.field(
+                params["field"], pos.reshape(-1, 3), dirs.reshape(-1, 3)
+            )
+            return rgb.reshape(t0.shape + (3,)), sigma.reshape(t0.shape)
+
+        colors, _, _, _ = rendering(
+            res.t_starts,
+            res.t_ends,
+            rgb_sigma_fn=rgb_sigma_fn,
+            render_bkgd=bkgd,
+            masks=res.valid,
+        )
+        return colors
+
+    def _render_chunks_scan_impl(self, params, occ_state, rays_o, rays_d, bkgd):
+        def body(_, od):
+            o, d = od
+            return None, self._render_chunk_impl(params, occ_state, o, d, bkgd)
+
+        _, colors = jax.lax.scan(body, None, (rays_o, rays_d))
+        return colors
+
+    def render_image(self, state, data: Dict, chunk: int = 4096) -> np.ndarray:
+        """Render a full frame at given (ground-truth or refined) rays —
+        whole frame in one dispatch (lax.scan over ray chunks)."""
+        rays_o = np.asarray(data["rays_o"])
+        rays_d = np.asarray(data["rays_d"])
+        bkgd = jnp.asarray(data["color_bkgd"])
+        n = rays_o.shape[0]
+        n_chunks = max(1, -(-n // chunk))
+        pad = n_chunks * chunk - n
+        if pad:
+            rays_o = np.pad(rays_o, ((0, pad), (0, 0)), constant_values=1e8)
+            rays_d = np.pad(rays_d, ((0, pad), (0, 0)), constant_values=1.0)
+        o = jnp.asarray(rays_o).reshape(n_chunks, chunk, 3)
+        d = jnp.asarray(rays_d).reshape(n_chunks, chunk, 3)
+        colors = self._render_chunks_scan(
+            state.params, state.occ_state, o, d, bkgd
+        )
+        return np.asarray(colors).reshape(n_chunks * chunk, 3)[:n]
+
+    def eval_metrics(self, state, dataset, max_images=None) -> dict:
+        from ..utils import metrics as M
+
+        psnrs, ssims = [], []
+        n = len(dataset) if max_images is None else min(len(dataset), max_images)
+        h, w = dataset.HEIGHT, dataset.WIDTH
+        for i in range(n):
+            data = dataset[i]
+            rgb = self.render_image(state, data)
+            ref = np.asarray(data["rgb"])
+            psnrs.append(M.psnr(rgb, ref))
+            ssims.append(M.ssim(rgb.reshape(h, w, 3), ref.reshape(h, w, 3)))
+        return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}

@@ -1,0 +1,267 @@
+"""Pose-optimization (BARF family) tests: SE(3) exp map, Sim3 alignment,
+coarse-to-fine PE window, and an end-to-end pose-refinement smoke run
+(reference benchmark: docs/source/examples/camera/barf.rst)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfacc_tpu.models.pose import (
+    coarse_to_fine_alpha,
+    compose_pose,
+    perturb_poses,
+    pose_registration_errors,
+    se3_exp,
+    umeyama_alignment,
+)
+
+
+def _rodrigues(omega):
+    theta = np.linalg.norm(omega)
+    if theta < 1e-12:
+        return np.eye(3)
+    k = omega / theta
+    K = np.array(
+        [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]]
+    )
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+def test_se3_exp_identity_and_rotation():
+    # exp(0) = [I | 0]
+    T = np.asarray(se3_exp(jnp.zeros((6,))))
+    np.testing.assert_allclose(T[:, :3], np.eye(3), atol=1e-7)
+    np.testing.assert_allclose(T[:, 3], 0.0, atol=1e-7)
+
+    # pure rotation matches Rodrigues; pure translation is exact
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        omega = rng.normal(size=3).astype(np.float32)
+        T = np.asarray(se3_exp(jnp.asarray(np.r_[omega, 0, 0, 0])))
+        np.testing.assert_allclose(T[:, :3], _rodrigues(omega), atol=1e-5)
+        rho = rng.normal(size=3).astype(np.float32)
+        T = np.asarray(se3_exp(jnp.asarray(np.r_[0, 0, 0, rho])))
+        np.testing.assert_allclose(T[:, 3], rho, atol=1e-6)
+
+
+def test_se3_exp_inverse_composes_to_identity():
+    rng = np.random.default_rng(1)
+    xi = jnp.asarray(rng.normal(size=(4, 6)).astype(np.float32) * 0.3)
+    T = se3_exp(xi)
+    Tinv = se3_exp(-xi)
+    # exp(-xi) inverts exp(xi) only for pure rotations/translations in
+    # general, but compose(T, [I|0]) must be T and the rotation part of
+    # exp(xi) @ exp(-xi) must be the identity (rotations commute with
+    # their own inverse axis).
+    eye = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1), T.shape
+    )
+    np.testing.assert_allclose(
+        np.asarray(compose_pose(T, eye)), np.asarray(T), atol=1e-6
+    )
+    R = np.asarray(T)[:, :, :3]
+    Rinv = np.asarray(Tinv)[:, :, :3]
+    prod = np.einsum("nij,njk->nik", R, Rinv)
+    np.testing.assert_allclose(
+        prod, np.broadcast_to(np.eye(3), prod.shape), atol=1e-5
+    )
+
+
+def test_se3_exp_small_angle_gradients_finite():
+    g = jax.grad(lambda xi: jnp.sum(se3_exp(xi) ** 2))(jnp.zeros((6,)))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_umeyama_recovers_known_sim3():
+    rng = np.random.default_rng(2)
+    src = rng.normal(size=(20, 3))
+    R_true = _rodrigues(np.array([0.3, -0.2, 0.5]))
+    s_true, t_true = 1.7, np.array([0.4, -1.0, 2.0])
+    dst = (s_true * (R_true @ src.T)).T + t_true
+    s, R, t = umeyama_alignment(src, dst)
+    assert abs(s - s_true) < 1e-8
+    np.testing.assert_allclose(R, R_true, atol=1e-8)
+    np.testing.assert_allclose(t, t_true, atol=1e-8)
+
+
+def test_pose_registration_errors_zero_for_similarity_gauge():
+    # A global similarity applied to all poses is gauge freedom: errors
+    # must vanish after alignment.
+    rng = np.random.default_rng(3)
+    n = 8
+    c2w = np.zeros((n, 3, 4))
+    for i in range(n):
+        c2w[i, :, :3] = _rodrigues(rng.normal(size=3))
+        c2w[i, :, 3] = rng.normal(size=3)
+    R_g = _rodrigues(np.array([0.1, 0.7, -0.3]))
+    s_g, t_g = 2.0, np.array([1.0, 2.0, 3.0])
+    est = c2w.copy()
+    est[:, :, :3] = np.einsum("ij,njk->nik", R_g, c2w[:, :, :3])
+    est[:, :, 3] = (s_g * (R_g @ c2w[:, :, 3].T)).T + t_g
+    err = pose_registration_errors(est, c2w)
+    assert err["rot_deg"] < 1e-5
+    assert err["trans"] < 1e-8
+
+    # and a genuine per-camera perturbation is detected
+    noisy, _ = perturb_poses(
+        jax.random.PRNGKey(0), jnp.asarray(c2w, jnp.float32), 0.05, 0.05
+    )
+    err2 = pose_registration_errors(np.asarray(noisy), c2w)
+    assert err2["rot_deg"] > 0.5
+
+
+def test_coarse_to_fine_alpha_schedule_and_window():
+    from nerfacc_tpu.models import SinusoidalEncoder
+
+    a0 = coarse_to_fine_alpha(jnp.asarray(0), 100, 10, 0.1, 0.5)
+    a_mid = coarse_to_fine_alpha(jnp.asarray(30), 100, 10, 0.1, 0.5)
+    a1 = coarse_to_fine_alpha(jnp.asarray(50), 100, 10, 0.1, 0.5)
+    assert float(a0) == 0.0 and float(a1) == 10.0
+    assert 0.0 < float(a_mid) < 10.0
+
+    enc = SinusoidalEncoder(3, 0, 4, True)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(5, 3)), jnp.float32)
+    # alpha=0: all frequency bands suppressed, identity part intact
+    z0 = enc(x, alpha=0.0)
+    np.testing.assert_allclose(np.asarray(z0[:, :3]), np.asarray(x), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(z0[:, 3:]), 0.0, atol=1e-7)
+    # alpha=max_deg: matches the unwindowed encoding
+    np.testing.assert_allclose(
+        np.asarray(enc(x, alpha=4.0)), np.asarray(enc(x)), atol=1e-7
+    )
+    # partial alpha: first band fully open, second partially, third closed
+    z = enc(x, alpha=1.5)
+    band = lambda k: np.asarray(z[:, 3 + 3 * k : 6 + 3 * k])
+    full = lambda k: np.asarray(enc(x)[:, 3 + 3 * k : 6 + 3 * k])
+    np.testing.assert_allclose(band(0), full(0), atol=1e-7)
+    assert np.all(np.abs(band(1)) <= np.abs(full(1)) + 1e-7)
+    np.testing.assert_allclose(band(2), 0.0, atol=1e-7)
+
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class _OracleField:
+    """Analytic ground-truth field of the procedural scene, exposed with the
+    radiance-field protocol (one dummy parameter so optax has a field
+    group).  Isolates the pose-gradient machinery: optimizing poses against
+    the true field must drive the registration error toward zero."""
+
+    scene: object
+
+    def init(self, key):
+        return {"dummy": jnp.zeros(())}
+
+    def query_density(self, params, x, pe_alpha=None):
+        return self.scene.query_density(x) + 0.0 * params["dummy"]
+
+    def __call__(self, params, pos, dirs, pe_alpha=None):
+        return (
+            self.scene.query_rgb(pos),
+            self.scene.query_density(pos)[..., 0] + 0.0 * params["dummy"],
+        )
+
+
+def test_barf_pose_only_refinement_converges():
+    """Pose-gradient correctness end-to-end: with the analytic oracle field
+    and GT-matched quadrature (near/far 2..6, step 4/512 — the loader's own
+    integrator settings), pose-only optimization from noisy poses must cut
+    the Sim3-aligned registration error by well over 2x.  (A learned-field
+    joint run needs chip-scale schedules; this isolates the machinery.)"""
+    from nerfacc_tpu.data import ProceduralSceneLoader
+    from nerfacc_tpu.trainers import BARFTrainer
+
+    ds = ProceduralSceneLoader(
+        split="train", num_rays=256, seed=0, width=48, height=48
+    )
+    c2w_gt = np.asarray(ds.camtoworlds, np.float32)[:, :3, :4]
+    noisy, _ = perturb_poses(
+        jax.random.PRNGKey(7), jnp.asarray(c2w_gt), 0.03, 0.03
+    )
+    noisy = np.asarray(noisy)
+    err0 = pose_registration_errors(noisy, c2w_gt)
+
+    trainer = BARFTrainer(
+        field=_OracleField(ds),
+        camtoworlds_init=noisy,
+        K=ds.K,
+        aabb=(-1.5, -1.5, -1.5, 1.5, 1.5, 1.5),
+        near_plane=2.0,
+        far_plane=6.0,
+        render_step_size=4.0 / 512,
+        grid_resolution=16,
+        occ_thre=0.0,  # the analytic Gaussians have tails everywhere
+        early_stop_eps=0.0,
+        stratified=False,
+        max_samples_per_ray=520,
+        max_steps=600,
+        lr_pose=3e-3,
+        lr_field=1e-9,
+        pe_c2f=None,
+        pose_start_step=0,
+        warmup_steps=100000,  # stay in the dense occupancy-update path
+        seed=0,
+    )
+    state = trainer.init_state()
+    rng = np.random.default_rng(0)
+    M = 8
+    for _ in range(30):  # 240 steps
+        datas = [ds.pixel_batch(int(rng.integers(0, len(ds)))) for _ in range(M)]
+        batches = {k: np.stack([d[k] for d in datas]) for k in datas[0]}
+        state, auxs = trainer.train_steps(state, batches)
+
+    assert np.all(np.isfinite(np.asarray(auxs["loss"])))
+    assert float(np.asarray(auxs["pose_grad_norm"])[-1]) > 0.0
+    err1 = pose_registration_errors(trainer.refined_poses(state), c2w_gt)
+    # measured: 2.74 deg -> 0.48 deg, T 0.152 -> 0.032 at 240 steps
+    assert err1["rot_deg"] < 0.4 * err0["rot_deg"], (err0, err1)
+    assert err1["trans"] < 0.4 * err0["trans"], (err0, err1)
+
+
+def test_barf_joint_training_smoke():
+    """Joint field+pose smoke: losses finite, poses exactly frozen before
+    ``pose_start_step`` and moving after it."""
+    from nerfacc_tpu.data import ProceduralSceneLoader
+    from nerfacc_tpu.models import VanillaNeRFRadianceField
+    from nerfacc_tpu.trainers import BARFTrainer
+
+    ds = ProceduralSceneLoader(
+        split="train", num_rays=128, seed=0, width=48, height=48
+    )
+    c2w = np.asarray(ds.camtoworlds, np.float32)[:, :3, :4]
+    field = VanillaNeRFRadianceField(
+        net_depth=2, net_width=32, skip_layer=None, net_width_condition=16
+    )
+    trainer = BARFTrainer(
+        field=field,
+        camtoworlds_init=c2w,
+        K=ds.K,
+        aabb=(-1.5, -1.5, -1.5, 1.5, 1.5, 1.5),
+        render_step_size=2e-2,
+        grid_resolution=32,
+        max_samples_per_ray=192,
+        max_steps=64,
+        pe_c2f=(0.0, 0.5),
+        pose_start_step=16,
+        warmup_steps=1000,
+        seed=0,
+    )
+    state = trainer.init_state()
+    rng = np.random.default_rng(0)
+    M = 8
+    # first 16 steps: pose updates masked
+    for _ in range(2):
+        datas = [ds.pixel_batch(int(rng.integers(0, len(ds)))) for _ in range(M)]
+        batches = {k: np.stack([d[k] for d in datas]) for k in datas[0]}
+        state, auxs = trainer.train_steps(state, batches)
+    assert np.all(np.isfinite(np.asarray(auxs["loss"])))
+    np.testing.assert_allclose(
+        np.asarray(state.params["pose_deltas"]), 0.0, atol=0.0
+    )
+    # after pose_start_step: pose deltas move
+    for _ in range(2):
+        datas = [ds.pixel_batch(int(rng.integers(0, len(ds)))) for _ in range(M)]
+        batches = {k: np.stack([d[k] for d in datas]) for k in datas[0]}
+        state, auxs = trainer.train_steps(state, batches)
+    assert float(np.abs(np.asarray(state.params["pose_deltas"])).max()) > 0.0

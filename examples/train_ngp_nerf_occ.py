@@ -50,9 +50,11 @@ def main():
         "--field",
         type=str,
         default="cp",
-        choices=["cp", "ngp"],
+        choices=["cp", "ngp", "tensorf"],
         help="cp: all-matmul factorized field (TPU fast path); "
-        "ngp: hash-grid field (reference-parity path)",
+        "ngp: hash-grid field (reference-parity path); "
+        "tensorf: VM decomposition (line + tri-plane levels, the "
+        "reference's TensoRF benchmark family)",
     )
     parser.add_argument(
         "--steps_per_call",
@@ -169,6 +171,11 @@ def main():
                                 encoder_remat=args.encoder_remat,
                                 plane_resolutions=tuple(args.plane_res),
                                 plane_ranks=tuple(args.plane_rank))
+    elif args.field == "tensorf":
+        from nerfacc_tpu.models import TensoRFRadianceField
+
+        field = TensoRFRadianceField(aabb=tuple(aabb), unbounded=unbounded,
+                                     encoder_remat=args.encoder_remat)
     else:
         field = NGPRadianceField(aabb=tuple(aabb), unbounded=unbounded)
     trainer = NGPOccTrainer(

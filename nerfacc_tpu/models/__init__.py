@@ -8,6 +8,12 @@ from .mlp import (
     TNeRFRadianceField,
     VanillaNeRFRadianceField,
 )
+from .cp_field import (
+    CPDensityField,
+    CPGridEncoder,
+    CPRadianceField,
+    TensoRFRadianceField,
+)
 from .kplanes import KPlanesEncoder, KPlanesRadianceField
 from .ngp import NGPDensityField, NGPRadianceField, contract_to_unisphere, trunc_exp
 from .pose import (
@@ -20,6 +26,10 @@ from .pose import (
 )
 
 __all__ = [
+    "CPDensityField",
+    "CPGridEncoder",
+    "CPRadianceField",
+    "TensoRFRadianceField",
     "KPlanesEncoder",
     "KPlanesRadianceField",
     "coarse_to_fine_alpha",

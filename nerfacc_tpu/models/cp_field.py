@@ -460,6 +460,27 @@ class CPRadianceField:
 
 
 @dataclasses.dataclass(frozen=True)
+class TensoRFRadianceField(CPRadianceField):
+    """TensoRF-VM configuration of the factorized field.
+
+    The reference benchmarks nerfacc with TensoRF (reference:
+    docs/source/examples/static/tensorf.rst:11-30 — NeRF-Synthetic mean
+    PSNR 32.52 @ 425 s; the model code lives in an external submodule).
+    TensoRF's VM (vector-matrix) decomposition is exactly this module's
+    line levels + tri-plane levels: each VM component is a plane feature
+    times the complementary axis line.  This subclass just names the
+    family and defaults to a VM-style configuration (matched line/plane
+    levels); the compute path — bilinear planes and hat-line lookups as
+    dense MXU matmul chains, zero gathers — is `CPGridEncoder`.
+    """
+
+    resolutions: Sequence[int] = (64, 192)
+    ranks: Sequence[int] = (32, 32)
+    plane_resolutions: Sequence[int] = (64, 128)
+    plane_ranks: Sequence[int] = (16, 16)
+
+
+@dataclasses.dataclass(frozen=True)
 class CPDensityField:
     """Density-only CP field for proposal resampling — the all-matmul
     analog of :class:`NGPDensityField` (reference: ngp.py:220-286)."""

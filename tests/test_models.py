@@ -296,3 +296,35 @@ def test_ndrt_field_invertible_warp_and_density():
     ts_all = jnp.asarray([[0.0], [0.5], [1.0]])
     op = field.query_opacity(params, x, ts_all, 5e-3, jax.random.PRNGKey(1))
     assert op.shape == (32, 1)
+
+
+def test_tensorf_field_vm_configuration():
+    """TensoRF-VM family naming (reference benchmark:
+    docs/source/examples/static/tensorf.rst): line + tri-plane levels,
+    forward shapes, density gated outside the aabb."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfacc_tpu.models import TensoRFRadianceField
+
+    field = TensoRFRadianceField(
+        aabb=(-1.5, -1.5, -1.5, 1.5, 1.5, 1.5),
+        resolutions=(8, 16),
+        ranks=(4, 4),
+        plane_resolutions=(8,),
+        plane_ranks=(4,),
+    )
+    params = field.init(jax.random.PRNGKey(0))
+    assert len(params["encoder"]["lines"]) == 2
+    assert len(params["encoder"]["planes"]) == 1
+    assert field.encoder.output_dim == 12
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1.0, 1.0, (8, 3)), jnp.float32
+    )
+    rgb, sigma = field(params, x, x)
+    assert rgb.shape == (8, 3) and sigma.shape == (8, 1)
+    assert np.all(np.isfinite(np.asarray(rgb)))
+    x_out = jnp.full((4, 3), 9.0)
+    assert np.all(np.asarray(field.query_density(params, x_out)) == 0)

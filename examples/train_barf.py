@@ -20,6 +20,9 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--scene", type=str, default="lego")
+    parser.add_argument("--train_split", type=str, default="train")
     parser.add_argument("--max_steps", type=int, default=10000)
     parser.add_argument("--num_rays", type=int, default=1024)
     parser.add_argument("--rot_std", type=float, default=0.05)
@@ -49,13 +52,27 @@ def main():
     from nerfacc_tpu.trainers import BARFTrainer
 
     aabb = (-1.5, -1.5, -1.5, 1.5, 1.5, 1.5)
-    train_dataset = ProceduralSceneLoader(
-        split="train", num_rays=args.num_rays, seed=args.seed,
-        width=args.width, height=args.height,
-    )
-    test_dataset = ProceduralSceneLoader(
-        split="test", width=args.width, height=args.height
-    )
+    if args.data_root is not None:
+        from nerfacc_tpu.data import SubjectLoader
+
+        train_dataset = SubjectLoader(
+            subject_id=args.scene,
+            root_fp=args.data_root,
+            split=args.train_split,
+            num_rays=args.num_rays,
+            seed=args.seed,
+        )
+        test_dataset = SubjectLoader(
+            subject_id=args.scene, root_fp=args.data_root, split="test"
+        )
+    else:
+        train_dataset = ProceduralSceneLoader(
+            split="train", num_rays=args.num_rays, seed=args.seed,
+            width=args.width, height=args.height,
+        )
+        test_dataset = ProceduralSceneLoader(
+            split="test", width=args.width, height=args.height
+        )
 
     c2w_gt = np.asarray(train_dataset.camtoworlds, np.float32)[:, :3, :4]
     noisy, _ = perturb_poses(

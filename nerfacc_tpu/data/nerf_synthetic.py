@@ -155,6 +155,30 @@ class SubjectLoader:
         y = self.rng.integers(0, self.HEIGHT, size=(num_rays,))
         return image_id, x, y
 
+    def pixel_batch(self, index: int):
+        """Pixel-level batch for pose-optimizing trainers (BARF): raw
+        ``(img_ids, x, y)`` plus composited target colors — the rays are
+        generated inside the trainer from the LEARNED poses, so the loader
+        must not precompute them."""
+        image_id, x, y = self._sample_pixels(index)
+        rgba = self.images[image_id, y, x].astype(np.float32) / 255.0
+        if self.color_bkgd_aug == "random":
+            color_bkgd = self.rng.random(3, dtype=np.float32)
+        elif self.color_bkgd_aug == "white":
+            color_bkgd = np.ones(3, np.float32)
+        else:
+            color_bkgd = np.zeros(3, np.float32)
+        pixels = rgba[..., :3] * rgba[..., 3:] + color_bkgd * (
+            1.0 - rgba[..., 3:]
+        )
+        return {
+            "img_ids": np.asarray(image_id, np.int32),
+            "x": np.asarray(x, np.int32),
+            "y": np.asarray(y, np.int32),
+            "rgb": pixels,
+            "color_bkgd": color_bkgd,
+        }
+
     def __getitem__(self, index: int):
         if self.training:
             image_id, x, y = self._sample_pixels(index)

@@ -111,6 +111,21 @@ def test_nerf_synthetic_train_sampling(tmp_path):
     assert ds[0]["rgb"].shape == (5, 3)
 
 
+def test_nerf_synthetic_pixel_batch(tmp_path):
+    """pixel_batch (the BARF pose-optimization input): raw pixel coords +
+    colors composited exactly like __getitem__, no precomputed rays."""
+    _write_blender_fixture(str(tmp_path))
+    ds = TinyLoader("tiny", str(tmp_path), "train", num_rays=13)
+    b = ds.pixel_batch(0)
+    assert set(b) == {"img_ids", "x", "y", "rgb", "color_bkgd"}
+    assert b["rgb"].shape == (13, 3) and b["img_ids"].dtype == np.int32
+    rgba = ds.images[b["img_ids"], b["y"], b["x"]].astype(np.float32) / 255.0
+    expected = rgba[..., :3] * rgba[..., 3:] + b["color_bkgd"] * (
+        1.0 - rgba[..., 3:]
+    )
+    np.testing.assert_allclose(b["rgb"], expected, atol=1e-6)
+
+
 def test_dnerf_timestamps(tmp_path):
     _write_blender_fixture(str(tmp_path), times=[0.0, 0.5])
     ds = TinyDnerfLoader("tiny", str(tmp_path), "train", num_rays=9)

@@ -161,6 +161,12 @@ class NGPOccTrainer:
     # chunk; ~10x faster) — "alive" is the classic full-batch while-loop
     # window marcher (render_rays_occgrid_test), kept for reference.
     eval_renderer: str = "pooled"
+    # per-round sample budget for the pooled/cursor EVAL renderers; None =
+    # reuse the train `sample_budget`.  Eval at frame scale is sample-bound
+    # (rounds = total_samples / budget) while each round also pays fixed
+    # coarse/sort costs — a larger eval budget amortizes those fixed costs
+    # over fewer rounds at the price of a bigger per-round buffer.
+    eval_sample_budget: Optional[int] = None
     # dynamic sample-buffer sizing: `train_steps` specializes the jitted
     # step to the smallest budget bucket covering recent observed demand
     # (with headroom), so the field/compositing never run on the ~20% of
@@ -621,7 +627,7 @@ class NGPOccTrainer:
             render_step_size=self.render_step_size,
             cone_angle=self.cone_angle,
             early_stop_eps=max(self.early_stop_eps, 1e-4),
-            budget=self.sample_budget,
+            budget=self.eval_sample_budget or self.sample_budget,
             window_size=self.window_size,
             max_coarse=max_coarse,
         )
@@ -669,11 +675,12 @@ class NGPOccTrainer:
             render_step_size=self.render_step_size,
             cone_angle=self.cone_angle,
             early_stop_eps=max(self.early_stop_eps, 1e-4),
-            # Full train-path budget: per-round costs are dominated by the
-            # FIXED pool/budget shapes, not by alive-ray demand, so a
-            # smaller budget just multiplies the round count (measured:
-            # budget/2 -> 5 rounds x 6.5 ms vs 2-3 rounds at full budget).
-            sample_budget=self.sample_budget,
+            # Full train-path budget (or the eval override): per-round costs
+            # are dominated by the FIXED pool/budget shapes, not by
+            # alive-ray demand, so a smaller budget just multiplies the
+            # round count (measured: budget/2 -> 5 rounds x 6.5 ms vs 2-3
+            # rounds at full budget).
+            sample_budget=self.eval_sample_budget or self.sample_budget,
             window_size=self.window_size,
             max_coarse=max_coarse,
             fine_probes=self.fine_probes,

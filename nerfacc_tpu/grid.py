@@ -329,6 +329,13 @@ def _occupancy_lookup_window_words(
     corner cases, rare) are conservatively reported OCCUPIED: they render
     through the field with sigma-driven weights, so the result is a slight
     superset of the reference's sample set, never a miss.
+
+    Exactness bound: a window of ``f`` candidates has at most ``f``
+    distinct word runs (``run_id < f`` by construction), so
+    ``n_probes == window_size`` is EXACT — the conservative fallback can
+    never trigger (tests/test_pooled_traversal.py::
+    test_fine_probes_window_size_is_exact asserts bit-for-bit equality
+    with the per-candidate path, including under cone-angle stepping).
     """
     W, f = level.shape
     m = binaries.shape[0]
@@ -686,7 +693,10 @@ def traverse_grids_pooled(
     run-start probe scheme (:func:`_occupancy_lookup_window_words`) with
     that many word-fetches per window — ~f/probes fewer gathers, exact for
     windows spanning <= fine_probes distinct bit-words (virtually all) and
-    a tiny conservative superset beyond.  0 = exact per-candidate gather.
+    a tiny conservative superset beyond.  0 = exact per-candidate gather;
+    fine_probes == window_size is ALSO exact (structural run-count bound,
+    see :func:`_occupancy_lookup_window_words`) at 1-D word gathers instead
+    of the slower per-candidate 2-D gather.
 
     Same two-phase scheme as :func:`traverse_grids_windowed` but the fine
     phase runs on the batch-wide pool of surviving windows instead of a fixed

@@ -140,6 +140,31 @@ def test_fine_probes_superset_and_tight():
     assert inflation < 0.05, f"sample inflation too high: {inflation:.3f}"
 
 
+def test_fine_probes_window_size_is_exact():
+    """fine_probes == window_size is EXACT by construction: a window of f
+    candidates has at most f distinct word-runs (run_id < f always), so the
+    conservative unmatched-fallback can never trigger and every candidate is
+    resolved against its own gathered word.  Must match fine_probes=0
+    bit-for-bit — including with cone-angle (geometric) stepping, where
+    growing dt maximizes word crossings per window."""
+    for seed, cone in ((3, 0.0), (5, 0.0), (7, 0.004)):
+        state, rays_o, rays_d = _scene(n_rays=128, seed=seed)
+        n_rays = rays_o.shape[0]
+        f = 8
+        kw = dict(step_size=5e-3, window_budget=n_rays * 128, window_size=f,
+                  max_coarse=160, cone_angle=cone)
+        exact = traverse_grids_pooled(
+            rays_o, rays_d, state.binaries, state.aabbs, fine_probes=0, **kw)
+        probed = traverse_grids_pooled(
+            rays_o, rays_d, state.binaries, state.aabbs, fine_probes=f, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(exact.valid), np.asarray(probed.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(exact.t_starts), np.asarray(probed.t_starts)
+        )
+
+
 def test_pooled_traversal_with_missing_rays():
     """Rays that MISS the grid carry inf segment bounds; the one-hot payload
     spread must not let 0*inf NaNs poison the pool (regression: all samples

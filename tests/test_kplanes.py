@@ -50,7 +50,7 @@ def test_kplanes_encoder_matches_gather_bilinear():
 
 
 def test_kplanes_static_at_init_then_time_dependent():
-    field = KPlanesRadianceField(aabb=AABB, resolutions=(8, 16), ranks=(4, 4))
+    field = KPlanesRadianceField(aabb=AABB, resolutions=(8,), ranks=(4,))
     params = field.init(jax.random.PRNGKey(3))
     x = jnp.asarray(
         np.random.default_rng(4).uniform(-1.0, 1.0, (16, 3)), jnp.float32
@@ -64,13 +64,13 @@ def test_kplanes_static_at_init_then_time_dependent():
     assert d0.shape == (16, 1)
 
     # perturb a time plane -> densities become time-dependent
-    params["encoder"]["planes"][1] = (
-        params["encoder"]["planes"][1]
+    params["encoder"]["planes"][0] = (
+        params["encoder"]["planes"][0]
         .at[3:]
         .add(
             0.3
             * jax.random.normal(
-                jax.random.PRNGKey(5), params["encoder"]["planes"][1][3:].shape
+                jax.random.PRNGKey(5), params["encoder"]["planes"][0][3:].shape
             )
         )
     )

@@ -38,16 +38,23 @@ def main():
     budget = 1 << 18
     steps_per_call = 32
 
+    # A/B harness knobs (defaults = the shipping config; see PERF.md):
+    #   BENCH_FINE_PROBES=8 measures the structurally-exact run-start mode,
+    #   BENCH_REMAT=dots measures the dots-saveable encoder residual policy.
+    fine_probes = int(os.environ.get("BENCH_FINE_PROBES", "4"))
+    encoder_remat = os.environ.get("BENCH_REMAT", "none")
+
     ds = ProceduralSceneLoader(
         split="train", num_rays=num_rays, width=256, height=256, n_train=6
     )
-    field = CPRadianceField(aabb=tuple(aabb))
+    field = CPRadianceField(aabb=tuple(aabb), encoder_remat=encoder_remat)
     trainer = NGPOccTrainer(
         field=field,
         aabb=aabb,
         sample_budget=budget,
         max_samples_per_ray=1024,
         render_step_size=5e-3,
+        fine_probes=fine_probes,
     )
     state = trainer.init_state()
 

@@ -33,6 +33,10 @@ def main():
     # otherwise dominates the small per-step compute
     parser.add_argument("--steps_per_call", type=int, default=32)
     parser.add_argument("--eval_images", type=int, default=None)
+    # draw ray batches ON DEVICE (data.device_sampler) — removes host-side
+    # numpy batch assembly from the steady-state loop (the fused device step
+    # is ~8 ms; host assembly held the loop at ~13.5 ms/step).  0 = host path.
+    parser.add_argument("--device_sampler", type=int, default=1)
     args = parser.parse_args()
 
     import jax
@@ -129,22 +133,33 @@ def main():
     state = trainer.init_state()
     requires_grad_fn = get_proposal_requires_grad_fn()
 
+    sampler = None
+    if args.device_sampler:
+        from nerfacc_tpu.data import DeviceRaySampler
+
+        sampler = DeviceRaySampler.from_loader(
+            train_dataset, num_rays=args.batch_size
+        )
+
     rng = np.random.default_rng(args.seed)
     tic = time.time()
     M = max(1, args.steps_per_call)
     step = 0
     while step <= args.max_steps:
-        datas = [
-            train_dataset[int(rng.integers(0, len(train_dataset)))]
-            for _ in range(M)
-        ]
-        batches = {
-            k: np.stack([d[k] for d in datas]) for k in datas[0]
-        }
         rgs = np.array(
             [requires_grad_fn(step + i) for i in range(M)], bool
         )
-        state, auxs = trainer.train_steps(state, batches, rgs)
+        if sampler is not None:
+            state, auxs = trainer.train_steps_sampled(state, sampler, rgs)
+        else:
+            datas = [
+                train_dataset[int(rng.integers(0, len(train_dataset)))]
+                for _ in range(M)
+            ]
+            batches = {
+                k: np.stack([d[k] for d in datas]) for k in datas[0]
+            }
+            state, auxs = trainer.train_steps(state, batches, rgs)
         step += M
 
         if (step - M) // args.log_every != step // args.log_every:

@@ -1,3 +1,4 @@
+from .device_sampler import DeviceRaySampler
 from .nerf_synthetic import SubjectLoader
 from .procedural import (
     ProceduralDynamicSceneLoader,
@@ -7,6 +8,7 @@ from .procedural import (
 
 __all__ = [
     "SubjectLoader",
+    "DeviceRaySampler",
     "ProceduralSceneLoader",
     "ProceduralDynamicSceneLoader",
     "ProceduralUnboundedSceneLoader",

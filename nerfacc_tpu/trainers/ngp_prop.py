@@ -79,6 +79,11 @@ class NGPPropTrainer:
         self._train_steps = jax.jit(
             self._train_steps_impl, donate_argnums=(0,)
         )
+        self._train_steps_sampled = jax.jit(
+            self._train_steps_sampled_impl,
+            donate_argnums=(0,),
+            static_argnames=("sampler",),
+        )
         self._render_chunk = jax.jit(self._render_chunk_impl)
         self._render_chunks_scan = jax.jit(self._render_chunks_scan_impl)
 
@@ -234,6 +239,38 @@ class NGPPropTrainer:
         batches = {k: jnp.asarray(v) for k, v in batches.items()}
         return self._train_steps(
             state, batches, jnp.asarray(requires_grads, bool)
+        )
+
+    def _train_steps_sampled_impl(self, state, arrays, rgs, *, sampler):
+        """``_train_steps_impl`` with the batches drawn ON DEVICE each step
+        (``data.device_sampler.DeviceRaySampler``).  Removes the host from
+        the steady-state loop entirely: profiling showed the fused device
+        step at ~8 ms while host-side numpy batch assembly held the loop at
+        ~13.5 ms/step (PERF.md "Proposal-network path")."""
+
+        def body(st, rg):
+            # a per-step batch key independent of the strat-key split chain
+            kb = jax.random.fold_in(st.key, 0x5A)
+            batch = sampler.sample(arrays, kb)
+            return jax.lax.cond(
+                rg,
+                lambda s, bb: self._train_step_impl(s, bb, True),
+                lambda s, bb: self._train_step_impl(s, bb, False),
+                st,
+                batch,
+            )
+
+        return jax.lax.scan(body, state, rgs)
+
+    def train_steps_sampled(self, state, sampler, requires_grads):
+        """Run ``len(requires_grads)`` steps in one dispatch with device-side
+        ray sampling — zero per-step H2D (reference draws batches on-GPU the
+        same way: examples/datasets/nerf_synthetic.py:104-160)."""
+        return self._train_steps_sampled(
+            state,
+            sampler.arrays,
+            jnp.asarray(requires_grads, bool),
+            sampler=sampler,
         )
 
     # -- evaluation --------------------------------------------------------

@@ -176,13 +176,12 @@ def main():
     print(f"sampling+interlevel-loss fwd+bwd: {t_pl * 1e3:.2f} ms")
 
     # --- full fused step (grad and no-grad variants) ---
-    st = state
-    batches = {k: jnp.broadcast_to(v[None], (8,) + v.shape) if v.ndim
-               else v for k, v in batch.items()}
     batches = {k: jnp.stack([batch[k]] * 8) for k in batch}
     for rg in (True, False):
+        # fresh state per variant: train_steps donates its input state
+        st2 = trainer.init_state()
         rgs = jnp.asarray([rg] * 8)
-        st2, aux = trainer.train_steps(st, batches, rgs)
+        st2, aux = trainer.train_steps(st2, batches, rgs)
         jax.block_until_ready(aux["loss"])
         n_iter = 4
         t0w = time.perf_counter()

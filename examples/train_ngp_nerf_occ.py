@@ -70,6 +70,9 @@ def main():
     )
     parser.add_argument("--window_budget", type=int, default=None)
     parser.add_argument("--fine_probes", type=int, default=4)
+    # draw ray batches ON DEVICE (data.device_sampler) — removes host-side
+    # numpy batch assembly from the steady-state loop.  0 = host path.
+    parser.add_argument("--device_sampler", type=int, default=1)
     parser.add_argument("--encoder_remat", type=str, default="none",
                         choices=["none", "dots", "full"])
     # K-Planes hybrid: append tri-plane levels to the CP field (quality
@@ -195,6 +198,14 @@ def main():
     )
     state = trainer.init_state()
 
+    base_sampler = None
+    if args.device_sampler and hasattr(train_dataset, "images"):
+        from nerfacc_tpu.data import DeviceRaySampler
+
+        base_sampler = DeviceRaySampler.from_loader(
+            train_dataset, num_rays=train_dataset.num_rays
+        )
+
     buckets = sorted(
         {1024 * 2**i for i in range(8)}
         | {1536 * 2**i for i in range(7)}
@@ -243,17 +254,26 @@ def main():
             )
 
     while step <= args.max_steps:
-        datas = [
-            train_dataset[int(rng.integers(0, len(train_dataset)))]
-            for _ in range(M)
-        ]
-        batches = {
-            k: np.stack([d[k] for d in datas]) for k in datas[0].keys()
-        }
-        state, auxs = trainer.train_steps(state, batches)
+        if base_sampler is not None:
+            # device-side batches at the current bucket's static ray count
+            # (samplers share the staged pixel/camera tables; one jit
+            # specialization per bucket, same as the host path)
+            n_rays_now = train_dataset.num_rays
+            sampler = base_sampler.with_num_rays(n_rays_now)
+            state, auxs = trainer.train_steps_sampled(state, sampler, M)
+        else:
+            datas = [
+                train_dataset[int(rng.integers(0, len(train_dataset)))]
+                for _ in range(M)
+            ]
+            batches = {
+                k: np.stack([d[k] for d in datas]) for k in datas[0].keys()
+            }
+            n_rays_now = len(datas[0]["rgb"])
+            state, auxs = trainer.train_steps(state, batches)
         step += M
 
-        pending_auxs.append((auxs, step, len(datas[0]["rgb"])))
+        pending_auxs.append((auxs, step, n_rays_now))
         if len(pending_auxs) > 2:
             _consume_aux(pending_auxs.pop(0))
 

@@ -69,6 +69,27 @@ class DeviceRaySampler:
             "K": jnp.asarray(np.asarray(K), jnp.float32),
         }
 
+    def with_num_rays(self, num_rays: int) -> "DeviceRaySampler":
+        """A sampler drawing ``num_rays``-ray batches from the SAME staged
+        device tables (no copy) — for bucketed dynamic batch sizing, where
+        each bucket is its own static shape / jit specialization.
+
+        Clones are cached per ray count: samplers are jit static args keyed
+        by identity, so returning a fresh object each call would recompile
+        the train program every dispatch."""
+        num_rays = int(num_rays)
+        if num_rays == self.num_rays:
+            return self
+        cache = self.__dict__.setdefault("_clones", {})
+        if num_rays not in cache:
+            clone = object.__new__(DeviceRaySampler)
+            clone.__dict__.update(
+                {k: v for k, v in self.__dict__.items() if k != "_clones"}
+            )
+            clone.num_rays = num_rays
+            cache[num_rays] = clone
+        return cache[num_rays]
+
     @classmethod
     def from_loader(cls, loader, num_rays: int = None) -> "DeviceRaySampler":
         """Build from any loader exposing images/camtoworlds/K (the

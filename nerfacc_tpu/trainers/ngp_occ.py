@@ -194,6 +194,12 @@ class NGPOccTrainer:
         self._train_steps = jax.jit(
             self._train_steps_impl, donate_argnums=(0,), static_argnums=(2,)
         )
+        self._train_steps_sampled = jax.jit(
+            self._train_steps_sampled_impl,
+            donate_argnums=(0,),
+            static_argnums=(2,),
+            static_argnames=("sampler", "n_steps"),
+        )
         self._render_chunk = jax.jit(self._render_chunk_impl)
         self._render_round = jax.jit(self._render_round_impl)
         self._render_chunk_pooled = jax.jit(self._render_chunk_pooled_impl)
@@ -527,6 +533,47 @@ class NGPOccTrainer:
         """
         batches = {k: jnp.asarray(v) for k, v in batches.items()}
         state, aux = self._train_steps(state, batches, self._pick_budget())
+        if self.dynamic_budget:
+            self._note_demand(aux["n_total_samples"])
+        return state, aux
+
+    def _train_steps_sampled_impl(
+        self,
+        state: TrainState,
+        arrays: Dict,
+        budget: Optional[int] = None,
+        *,
+        sampler,
+        n_steps: int,
+    ) -> Tuple:
+        """``_train_steps_impl`` with the batches drawn ON DEVICE each step
+        (``data.device_sampler.DeviceRaySampler``) — no host batch assembly,
+        no per-step H2D.  Same move as ``NGPPropTrainer.train_steps_sampled``
+        (PERF.md "Proposal-network path": host assembly held that loop ~1.7x
+        over its device time)."""
+
+        def body(st, _):
+            kb = jax.random.fold_in(st.key, 0x5A)
+            batch = sampler.sample(arrays, kb)
+            return self._train_step_impl(st, batch, budget)
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    def train_steps_sampled(
+        self, state: TrainState, sampler, n_steps: int
+    ) -> Tuple:
+        """Run ``n_steps`` fused steps with device-side ray sampling."""
+        assert not self.time_dependent, (
+            "device-side sampling does not carry timestamps yet — "
+            "use train_steps for time-dependent fields"
+        )
+        state, aux = self._train_steps_sampled(
+            state,
+            sampler.arrays,
+            self._pick_budget(),
+            sampler=sampler,
+            n_steps=int(n_steps),
+        )
         if self.dynamic_budget:
             self._note_demand(aux["n_total_samples"])
         return state, aux

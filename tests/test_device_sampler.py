@@ -73,6 +73,34 @@ def test_sample_batch_shapes_and_ranges():
     assert np.all(np.asarray(batch["rgb"]) <= 1.0)
 
 
+def test_occ_trainer_steps_sampled_matches_structure():
+    from nerfacc_tpu.models.cp_field import CPRadianceField
+    from nerfacc_tpu.trainers import NGPOccTrainer
+
+    ds = _loader()
+    sampler = DeviceRaySampler.from_loader(ds, num_rays=32)
+    aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
+    trainer = NGPOccTrainer(
+        field=CPRadianceField(aabb=tuple(aabb), resolutions=(16,), ranks=(8,),
+                              hidden_dim=16),
+        aabb=aabb,
+        sample_budget=2048,
+        max_samples_per_ray=64,
+        render_step_size=5e-2,
+        grid_resolution=32,
+    )
+    state = trainer.init_state()
+    state, auxs = trainer.train_steps_sampled(state, sampler, 3)
+    assert np.asarray(auxs["loss"]).shape == (3,)
+    assert np.all(np.isfinite(np.asarray(auxs["loss"])))
+    # bucketed resize reuses the staged tables and caches the clone
+    s64 = sampler.with_num_rays(64)
+    assert s64 is sampler.with_num_rays(64)
+    assert s64.arrays["pixels"] is sampler.arrays["pixels"]
+    state, auxs = trainer.train_steps_sampled(state, s64, 2)
+    assert np.all(np.isfinite(np.asarray(auxs["loss"])))
+
+
 def test_prop_trainer_steps_sampled_runs_and_learns():
     from nerfacc_tpu.models.cp_field import CPDensityField, CPRadianceField
     from nerfacc_tpu.trainers import NGPPropTrainer

@@ -52,6 +52,12 @@ class DeviceRaySampler:
             alpha = np.full(images.shape[:-1] + (1,), 255, images.dtype)
             images = np.concatenate([images, alpha], axis=-1)
         n, h, w, _ = images.shape
+        # the flat pixel index is computed in int32 inside the jit; beyond
+        # 2^31 pixels it would silently wrap and gather wrong rows
+        assert n * h * w < 2**31, (
+            f"image set has {n * h * w} pixels — exceeds the int32 flat "
+            "pixel index (downsample or shard the image table)"
+        )
         self.n_images, self.height, self.width = n, h, w
         self.num_rays = int(num_rays)
         self.color_bkgd_aug = color_bkgd_aug
@@ -76,17 +82,22 @@ class DeviceRaySampler:
 
         Clones are cached per ray count: samplers are jit static args keyed
         by identity, so returning a fresh object each call would recompile
-        the train program every dispatch."""
+        the train program every dispatch.  The cache dict is SHARED between
+        the base sampler and every clone — resizing from a clone
+        (``s.with_num_rays(64).with_num_rays(96)``) must return the same
+        object as resizing from the base, or the jit cache forks."""
         num_rays = int(num_rays)
         if num_rays == self.num_rays:
             return self
         cache = self.__dict__.setdefault("_clones", {})
+        cache.setdefault(self.num_rays, self)
         if num_rays not in cache:
             clone = object.__new__(DeviceRaySampler)
             clone.__dict__.update(
                 {k: v for k, v in self.__dict__.items() if k != "_clones"}
             )
             clone.num_rays = num_rays
+            clone._clones = cache  # shared, so clones-of-clones dedupe
             cache[num_rays] = clone
         return cache[num_rays]
 
@@ -94,11 +105,17 @@ class DeviceRaySampler:
     def from_loader(cls, loader, num_rays: int = None) -> "DeviceRaySampler":
         """Build from any loader exposing images/camtoworlds/K (the
         procedural + nerf_synthetic loaders' attribute protocol)."""
+        if num_rays is None:
+            num_rays = loader.num_rays
+        assert isinstance(num_rays, int) and num_rays > 0, (
+            f"num_rays must be a positive int, got {num_rays!r} "
+            "(test-split loaders carry num_rays=None — pass it explicitly)"
+        )
         return cls(
             images=np.asarray(loader.images),
             camtoworlds=np.asarray(loader.camtoworlds),
             K=np.asarray(loader.K),
-            num_rays=num_rays or loader.num_rays,
+            num_rays=num_rays,
             color_bkgd_aug=getattr(loader, "color_bkgd_aug", "white"),
             opengl_camera=getattr(loader, "OPENGL_CAMERA", True),
         )

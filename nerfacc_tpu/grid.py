@@ -386,6 +386,100 @@ def _occupancy_lookup_window_words(
     return occ | ~matched
 
 
+def _occupancy_lookup_window_box(
+    pos: jnp.ndarray,
+    level: jnp.ndarray,
+    binaries: jnp.ndarray,
+    aabbs: jnp.ndarray,
+) -> jnp.ndarray:
+    """Occupancy for window-shaped candidates ``pos (W, f, 3)`` with ONE
+    bit-word row gather per window: fetch the 3x3x3 word neighborhood of the
+    window's MIDDLE candidate and resolve every candidate elementwise
+    against it.
+
+    Why this is enough: with uniform sub-voxel stepping the whole window
+    spans ``window_size * step_size`` world units, so every candidate's
+    voxel lies within one cell of the middle candidate's per axis whenever
+    ``(window_size / 2) * step_size <= voxel_size`` (z-words pack 32 voxels,
+    so the word delta along z is even smaller).  Under that bound — which
+    holds for the shipping uniform-stepping configs and is checked
+    statically by the trainer — the box lookup is EXACT: bit-for-bit the
+    per-candidate gather (tests/test_pooled_traversal.py::
+    test_fine_box_mode_is_exact).  Candidates outside the box (oversized
+    steps, cone-angle growth, level changes within a window) are
+    conservatively reported OCCUPIED — the same never-a-miss superset
+    semantics as the run-start fallback.
+
+    Cost: the run-start scheme needs ``window_size`` single-word gathers for
+    structural exactness (one per possible word run); this needs one 27-word
+    row gather (random-gather cost on this TPU is per ROW, ~7-8 ns,
+    regardless of width — see PERF.md cost model), plus a cheap elementwise
+    27-way select.  The neighbor table is 27 shifted copies of the packed
+    word array (<= a few MB), rebuilt inside the jit each call.
+    """
+    W, f = level.shape
+    m = binaries.shape[0]
+    rx, ry, rz = binaries.shape[1:]
+    rzw = (rz + 31) // 32
+    words = _pack_bits_z(binaries)  # (m, rx, ry, rzw)
+    # 3x3x3 neighbor table: out-of-range neighbors pad to 0 (= unoccupied,
+    # which is exact — outside the grid is empty space).
+    wp = jnp.pad(words, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    words27 = jnp.stack(
+        [
+            wp[:, ax : ax + rx, ay : ay + ry, az : az + rzw]
+            for ax in range(3)
+            for ay in range(3)
+            for az in range(3)
+        ],
+        axis=-1,
+    ).reshape(-1, 27)  # (m*rx*ry*rzw, 27)
+
+    res = jnp.asarray(binaries.shape[1:], dtype=pos.dtype)
+    lo = jnp.broadcast_to(aabbs[0, :3], pos.shape)
+    hi = jnp.broadcast_to(aabbs[0, 3:], pos.shape)
+    for l in range(1, m):
+        sel = (level == l)[..., None]
+        lo = jnp.where(sel, aabbs[l, :3], lo)
+        hi = jnp.where(sel, aabbs[l, 3:], hi)
+    u = (pos - lo) / (hi - lo)
+    idx = jnp.clip(
+        jnp.floor(u * res).astype(jnp.int32),
+        0,
+        jnp.asarray(binaries.shape[1:], dtype=jnp.int32) - 1,
+    )
+    izw = idx[..., 2] // 32
+    bit = idx[..., 2] % 32
+
+    mid = f // 2
+    a_lvl = level[:, mid]
+    a_x, a_y = idx[:, mid, 0], idx[:, mid, 1]
+    a_zw = izw[:, mid]
+    a_word = ((a_lvl * rx + a_x) * ry + a_y) * rzw + a_zw  # (W,)
+    rows = jnp.take(words27, a_word, axis=0)  # (W, 27) int32 row gather
+
+    dx = idx[..., 0] - a_x[:, None]
+    dy = idx[..., 1] - a_y[:, None]
+    dz = izw - a_zw[:, None]
+    covered = (
+        (level == a_lvl[:, None])
+        & (jnp.abs(dx) <= 1)
+        & (jnp.abs(dy) <= 1)
+        & (jnp.abs(dz) <= 1)
+    )
+    sel27 = jnp.where(covered, (dx + 1) * 9 + (dy + 1) * 3 + (dz + 1), 0)
+    word = jnp.sum(
+        jnp.where(
+            sel27[..., None] == jnp.arange(27, dtype=jnp.int32),
+            rows[:, None, :],
+            0,
+        ),
+        axis=-1,
+    )  # (W, f)
+    occ = ((word >> bit) & 1) > 0
+    return jnp.where(covered, occ, True)
+
+
 def _orbit_index(
     near: jnp.ndarray, t: jnp.ndarray, step_size: float, cone_angle: float
 ) -> jnp.ndarray:
@@ -614,7 +708,8 @@ def _fine_phase_from_payload(
     payload rows (layout of :func:`_pool_payload`) and coarse slot indices
     ``wj`` (pool,).  Returns ``(t0, t1, valid, o_w, d_w)`` with shapes
     ``(pool, f)`` / ``(pool, 3)``; ``valid`` combines the geometric
-    segment test with the occupancy lookup (run-start word probes when
+    segment test with the occupancy lookup (one 27-word box row gather per
+    window when ``fine_probes == -1``, run-start word probes when
     ``fine_probes > 0``, per-candidate gather otherwise)."""
     j0_w = prow[:, 0].astype(jnp.int32)
     near_w = prow[:, 1]
@@ -643,7 +738,9 @@ def _fine_phase_from_payload(
         level = jnp.where(inside_j, slev_w[:, j : j + 1], level)
 
     pos = o_w[:, None, :] + t_mids[..., None] * d_w[:, None, :]
-    if fine_probes > 0:
+    if fine_probes == -1:
+        occupied = _occupancy_lookup_window_box(pos, level, binaries, aabbs)
+    elif fine_probes > 0:
         occupied = _occupancy_lookup_window_words(
             pos, level, binaries, aabbs, fine_probes
         )
@@ -696,7 +793,11 @@ def traverse_grids_pooled(
     a tiny conservative superset beyond.  0 = exact per-candidate gather;
     fine_probes == window_size is ALSO exact (structural run-count bound,
     see :func:`_occupancy_lookup_window_words`) at 1-D word gathers instead
-    of the slower per-candidate 2-D gather.
+    of the slower per-candidate 2-D gather.  ``fine_probes == -1`` uses ONE
+    27-word neighborhood row gather per window
+    (:func:`_occupancy_lookup_window_box`) — exact whenever
+    ``(window_size / 2) * step_size <= voxel_size`` with uniform stepping
+    (the shipping static configs), conservative superset beyond.
 
     Same two-phase scheme as :func:`traverse_grids_windowed` but the fine
     phase runs on the batch-wide pool of surviving windows instead of a fixed

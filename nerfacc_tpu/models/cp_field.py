@@ -386,6 +386,22 @@ class CPRadianceField:
             ),
         )
 
+    @property
+    def max_eval_chunk(self) -> int:
+        """Occupancy-update eval chunk bound (see update_occ_grid): each
+        tri-plane level's encode materializes a (3, N, R*rank) bf16 dot
+        output — at the dense refresh's whole-grid N (2M cells for 128^3)
+        that is tens of GB.  Cap the chunk so the intermediate stays
+        ~<=1.5 GB; pure-line configs keep the whole-grid chunk."""
+        per = sum(
+            R * r
+            for R, r in zip(self.plane_resolutions, self.plane_ranks)
+        )
+        if per == 0:
+            return 2**21
+        cap = max(2**12, int(2.5e8) // per)
+        return 1 << (cap.bit_length() - 1)
+
     def _aabb(self) -> jnp.ndarray:
         return jnp.asarray(self.aabb, jnp.float32)
 

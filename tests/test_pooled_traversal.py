@@ -165,6 +165,48 @@ def test_fine_probes_window_size_is_exact():
         )
 
 
+def test_fine_box_mode_is_exact():
+    """fine_probes == -1 (one 27-word box row gather per window) is EXACT
+    whenever (window_size / 2) * step_size <= voxel_size with uniform
+    stepping: every candidate's voxel then sits within one cell of the
+    middle candidate's per axis, so the box covers the whole window and the
+    conservative fallback never triggers.  Here voxel = 2/32 = 0.0625 and
+    (8/2) * 5e-3 = 0.02."""
+    for seed in (3, 5, 11):
+        state, rays_o, rays_d = _scene(n_rays=128, seed=seed)
+        n_rays = rays_o.shape[0]
+        f = 8
+        kw = dict(step_size=5e-3, window_budget=n_rays * 128, window_size=f,
+                  max_coarse=160)
+        exact = traverse_grids_pooled(
+            rays_o, rays_d, state.binaries, state.aabbs, fine_probes=0, **kw)
+        box = traverse_grids_pooled(
+            rays_o, rays_d, state.binaries, state.aabbs, fine_probes=-1, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(exact.valid), np.asarray(box.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(exact.t_starts), np.asarray(box.t_starts)
+        )
+
+
+def test_fine_box_mode_is_conservative_superset_under_cone():
+    """With cone-angle (geometric) stepping, dt eventually exceeds the box
+    bound; uncovered candidates must fall back to conservative OCCUPIED —
+    i.e. the box-mode valid set is a SUPERSET of the exact one, never a
+    miss (same never-drop contract as the run-start probes' fallback)."""
+    state, rays_o, rays_d = _scene(n_rays=128, seed=7)
+    n_rays = rays_o.shape[0]
+    kw = dict(step_size=5e-3, window_budget=n_rays * 128, window_size=8,
+              max_coarse=160, cone_angle=0.02)
+    exact = traverse_grids_pooled(
+        rays_o, rays_d, state.binaries, state.aabbs, fine_probes=0, **kw)
+    box = traverse_grids_pooled(
+        rays_o, rays_d, state.binaries, state.aabbs, fine_probes=-1, **kw)
+    ev, bv = np.asarray(exact.valid), np.asarray(box.valid)
+    assert (bv | ~ev).all(), "box mode dropped an exact-valid sample"
+
+
 def test_pooled_traversal_with_missing_rays():
     """Rays that MISS the grid carry inf segment bounds; the one-hot payload
     spread must not let 0*inf NaNs poison the pool (regression: all samples

@@ -1,10 +1,22 @@
 """Benchmark: sustained training-pipeline throughput on one chip.
 
 Prints ONE JSON line: rendered samples/second through the full fused train
-step (occupancy-grid sampling + compaction + radiance field fwd/bwd + Adam +
-grid updates), measured in steady state on the self-contained procedural
-scene.  Baseline: the reference sustains ~18M rendered samples/s on a TITAN
-RTX (BASELINE.md: 20k steps / 288 s at 2^18 samples/step, lego+occ).
+step, measured in steady state on the self-contained procedural scene.
+
+Paths (BENCH_PATH env):
+  occ (default) — occupancy-grid sampling + compaction + CP field fwd/bwd +
+      Adam + dense grid updates at 2048 rays x 2^18-sample budget.
+      Baseline: the reference sustains ~18M rendered samples/s on a TITAN
+      RTX (BASELINE.md: 20k steps / 288 s at 2^18 samples/step, lego+occ).
+  prop — proposal-network path (reference train_ngp_nerf_prop.py shapes:
+      4096 rays x (128 proposal + 64 final) samples, the requires-grad
+      schedule, device-side batch sampling).  Baseline: ~65M samples/s
+      derived from ngp.rst prop 20k steps @ 240 s.
+
+The occ line also reports ``mfu``: achieved TFLOP/s through the field's
+matmul chain (analytic count, utils/flops.py — encoder + MLP fwd+bwd on
+rendered samples, plus the dense occupancy refresh's forward evals)
+divided by the v5e's ~197 bf16 TFLOP/s peak.
 """
 import json
 import os
@@ -14,24 +26,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_SAMPLES_PER_SEC = 18e6
+BASELINE_PROP_SAMPLES_PER_SEC = 65e6
+V5E_PEAK_BF16_FLOPS = 197e12
 
 
-def main():
+def bench_occ():
     import jax
     import numpy as np
-
-    from nerfacc_tpu.utils import setup_compilation_cache
-
-    setup_compilation_cache()
 
     from nerfacc_tpu.data import ProceduralSceneLoader
     from nerfacc_tpu.models.cp_field import CPRadianceField
     from nerfacc_tpu.trainers import NGPOccTrainer
-
-    # TPU-native counter-based PRNG: threefry jitter generation was ~40% of
-    # the occupancy-update cost; rbg is hardware-rate and statistically fine
-    # for stratified sampling / cell jitter.
-    jax.config.update("jax_default_prng_impl", "rbg")
+    from nerfacc_tpu.utils import flops as F
 
     aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
     num_rays = 2048
@@ -39,9 +45,13 @@ def main():
     steps_per_call = 32
 
     # A/B harness knobs (defaults = the shipping config; see PERF.md):
-    #   BENCH_FINE_PROBES=8 measures the structurally-exact run-start mode,
+    #   BENCH_FINE_PROBES: -1 = box-27 (the default via "auto" — exact on
+    #   this config AND the fastest), 4 = run-start probes (round-3
+    #   default), 8 = structurally-exact run-start, 0 = per-candidate.
     #   BENCH_REMAT=dots measures the dots-saveable encoder residual policy.
-    fine_probes = int(os.environ.get("BENCH_FINE_PROBES", "4"))
+    fine_probes = os.environ.get("BENCH_FINE_PROBES", "auto")
+    if fine_probes != "auto":
+        fine_probes = int(fine_probes)
     encoder_remat = os.environ.get("BENCH_REMAT", "none")
 
     ds = ProceduralSceneLoader(
@@ -97,7 +107,6 @@ def main():
     jax.block_until_ready((device_batches, occ_copies))
 
     t0 = time.time()
-    total_samples = 0
     sample_counts = []
     for b, occ in zip(device_batches, occ_copies):
         state, auxs = trainer.train_steps(state._replace(occ_state=occ), b)
@@ -105,8 +114,19 @@ def main():
     jax.block_until_ready(sample_counts)
     elapsed = time.time() - t0
     total_samples = int(np.asarray(jax.device_get(sample_counts)).sum())
+    n_steps = n_calls * steps_per_call
 
     samples_per_sec = total_samples / elapsed
+    # analytic matmul FLOPs: field fwd+bwd on every rendered sample, plus
+    # the dense occupancy refresh (all cells / update_interval, fwd only)
+    train_flops = total_samples * F.cp_field_flops_per_sample(field)
+    occ_cells = trainer.grid_resolution**3 * trainer.grid_nlvl
+    occ_flops = (
+        n_steps
+        * (occ_cells // trainer.update_interval)
+        * F.cp_density_query_flops_per_sample(field)
+    )
+    achieved = (train_flops + occ_flops) / elapsed
     print(
         json.dumps(
             {
@@ -114,9 +134,110 @@ def main():
                 "value": round(samples_per_sec),
                 "unit": "samples/s",
                 "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 4),
+                "mfu": round(achieved / V5E_PEAK_BF16_FLOPS, 4),
+                "achieved_tflops": round(achieved / 1e12, 2),
             }
         )
     )
+
+
+def bench_prop():
+    import jax
+    import numpy as np
+
+    from nerfacc_tpu.data import DeviceRaySampler, ProceduralSceneLoader
+    from nerfacc_tpu.estimators.prop_net import get_proposal_requires_grad_fn
+    from nerfacc_tpu.models.cp_field import CPDensityField, CPRadianceField
+    from nerfacc_tpu.trainers import NGPPropTrainer
+    from nerfacc_tpu.utils import flops as F
+
+    aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
+    n_rays = 4096
+    prop_samples, num_samples = 128, 64
+    steps_per_call = 32
+
+    ds = ProceduralSceneLoader(
+        split="train", num_rays=n_rays, width=256, height=256, n_train=6
+    )
+    field = CPRadianceField(aabb=tuple(aabb))
+    prop_fields = [CPDensityField(aabb=tuple(aabb))]
+    trainer = NGPPropTrainer(
+        field=field,
+        prop_fields=prop_fields,
+        prop_samples=[prop_samples],
+        num_samples=num_samples,
+        near_plane=2.0,
+        far_plane=6.0,
+    )
+    state = trainer.init_state()
+    sampler = DeviceRaySampler.from_loader(ds, num_rays=n_rays)
+    rg_fn = get_proposal_requires_grad_fn()
+
+    def rgs(step0):
+        return np.asarray(
+            [rg_fn(step0 + i) for i in range(steps_per_call)], bool
+        )
+
+    # warm up both rg-branch programs
+    state, aux = trainer.train_steps_sampled(state, sampler, rgs(512))
+    jax.block_until_ready(aux["loss"])
+
+    n_calls = 10
+    t0 = time.time()
+    outs = []
+    for c in range(n_calls):
+        state, aux = trainer.train_steps_sampled(
+            state, sampler, rgs(1000 + c * steps_per_call)
+        )
+        outs.append(aux["loss"])
+    jax.block_until_ready(outs)
+    elapsed = time.time() - t0
+    n_steps = n_calls * steps_per_call
+    per_step = n_rays * (prop_samples + num_samples)
+    samples_per_sec = n_steps * per_step / elapsed
+
+    # analytic matmul FLOPs: proposal levels are fwd-only except on
+    # requires-grad steps (~1/5 of steps at steady state); final field is
+    # always fwd+bwd
+    n_rg = int(sum(rg_fn(1000 + i) for i in range(n_steps)))
+    prop_flops_fwd = (
+        n_rays * prop_samples * F.cp_density_flops_per_sample(prop_fields[0])
+    )
+    flops = n_steps * n_rays * num_samples * F.cp_field_flops_per_sample(field)
+    flops += (n_steps - n_rg) * prop_flops_fwd + n_rg * 3 * prop_flops_fwd
+    achieved = flops / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "prop_train_samples_per_sec",
+                "value": round(samples_per_sec),
+                "unit": "samples/s",
+                "vs_baseline": round(
+                    samples_per_sec / BASELINE_PROP_SAMPLES_PER_SEC, 4
+                ),
+                "mfu": round(achieved / V5E_PEAK_BF16_FLOPS, 4),
+                "achieved_tflops": round(achieved / 1e12, 2),
+            }
+        )
+    )
+
+
+def main():
+    import jax
+
+    from nerfacc_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    # TPU-native counter-based PRNG: threefry jitter generation was ~40% of
+    # the occupancy-update cost; rbg is hardware-rate and statistically fine
+    # for stratified sampling / cell jitter.
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    if os.environ.get("BENCH_PATH", "occ") == "prop":
+        bench_prop()
+    else:
+        bench_occ()
 
 
 if __name__ == "__main__":

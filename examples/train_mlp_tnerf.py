@@ -29,10 +29,12 @@ def main():
         "--field",
         type=str,
         default="tnerf",
-        choices=["tnerf", "kplanes"],
+        choices=["tnerf", "kplanes", "tineuvox"],
         help="tnerf = time-warp MLP (reference model); kplanes = the "
         "space-time-plane factorized field (the reference's K-Planes "
-        "benchmark family, all-matmul on TPU)",
+        "benchmark family, all-matmul on TPU); tineuvox = time-aware "
+        "neural voxels + tiny deformation MLP (the reference's TiNeuVox "
+        "benchmark family)",
     )
     parser.add_argument("--field_reg_weight", type=float, default=0.0)
     args = parser.parse_args()
@@ -73,6 +75,11 @@ def main():
         from nerfacc_tpu.models import KPlanesRadianceField
 
         field = KPlanesRadianceField(aabb=tuple(aabb))
+        lr, adam_eps, warmup = 1e-2, 1e-15, 100
+    elif args.field == "tineuvox":
+        from nerfacc_tpu.models import TiNeuVoxRadianceField
+
+        field = TiNeuVoxRadianceField(aabb=tuple(aabb))
         lr, adam_eps, warmup = 1e-2, 1e-15, 100
     else:
         field = TNeRFRadianceField()

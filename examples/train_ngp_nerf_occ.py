@@ -69,7 +69,14 @@ def main():
         choices=["pooled", "windowed", "padded"],
     )
     parser.add_argument("--window_budget", type=int, default=None)
-    parser.add_argument("--fine_probes", type=int, default=4)
+    parser.add_argument(
+        "--fine_probes",
+        type=lambda s: s if s == "auto" else int(s),
+        default="auto",
+        help="pooled fine occupancy test: auto (box-27 when the config "
+        "makes it exact, else 4 run-start probes), -1 box, 0 exact "
+        "per-candidate, K>0 run-start probes",
+    )
     # draw ray batches ON DEVICE (data.device_sampler) — removes host-side
     # numpy batch assembly from the steady-state loop.  0 = host path.
     parser.add_argument("--device_sampler", type=int, default=1)

@@ -15,6 +15,7 @@ from .cp_field import (
     TensoRFRadianceField,
 )
 from .kplanes import KPlanesEncoder, KPlanesRadianceField
+from .tineuvox import TiNeuVoxRadianceField
 from .ngp import NGPDensityField, NGPRadianceField, contract_to_unisphere, trunc_exp
 from .pose import (
     coarse_to_fine_alpha,
@@ -32,6 +33,7 @@ __all__ = [
     "TensoRFRadianceField",
     "KPlanesEncoder",
     "KPlanesRadianceField",
+    "TiNeuVoxRadianceField",
     "coarse_to_fine_alpha",
     "compose_pose",
     "perturb_poses",

@@ -127,13 +127,19 @@ class NGPOccTrainer:
     # (a window holds up to window_size samples; ~60% are fine-valid on
     # typical scenes, so budget//4 windows can always fill the sample budget)
     window_budget: Optional[int] = None
-    # fine occupancy word-fetches per window for traversal="pooled":
-    # ~window_size/probes fewer gathers; exact for windows spanning
-    # <= fine_probes bit-words (run-start probing), tiny conservative
-    # superset beyond.  0 = exact per-candidate gather.  K=4 is the
-    # measured knee: 0.002% false samples (K=3: 0.5%, which trains density
-    # into eval-skipped voxels and costs ~1 dB eval PSNR; K=5: bit-exact).
-    fine_probes: int = 4
+    # fine occupancy test for traversal="pooled".  "auto" resolves to -1
+    # (ONE 27-word box row gather per window, _occupancy_lookup_window_box)
+    # when the static config guarantees the box covers every window —
+    # uniform stepping, single grid level, (window_size/2)*step_size <=
+    # voxel — making the sampling structurally EXACT at fewer gathers than
+    # any probe count (measured 20.8M vs fp4's 19.5M samples/s on the v5e
+    # bench config); otherwise falls back to 4 run-start word probes
+    # (~window_size/probes fewer gathers; exact for windows spanning <= 4
+    # bit-words, tiny conservative superset beyond — 0.002% false samples
+    # at the measured knee; 3 probes cost ~1 dB eval PSNR by training
+    # density into eval-skipped voxels).  Explicit ints: -1 = box, 0 =
+    # exact per-candidate gather, K>0 = K run-start probes.
+    fine_probes: Any = "auto"
     # dense occupancy updates: refresh ALL cells every update_interval steps
     # (scatter/sort-free — see update_occ_grid docstring) instead of the
     # reference's 1/4-uniform + 1/4-occupied sampled update
@@ -180,6 +186,17 @@ class NGPOccTrainer:
     budget_headroom: float = 1.15
 
     def __post_init__(self):
+        if self.fine_probes == "auto":
+            aabb = np.asarray(self.aabb, np.float32).reshape(-1)
+            voxel = float(
+                np.min((aabb[3:] - aabb[:3]) / self.grid_resolution)
+            )
+            box_exact = (
+                self.cone_angle == 0.0
+                and self.grid_nlvl == 1
+                and (self.window_size / 2) * self.render_step_size <= voxel
+            )
+            self.fine_probes = -1 if box_exact else 4
         self.schedule = make_lr_schedule(
             self.max_steps, self.lr, self.warmup_lr_steps
         )

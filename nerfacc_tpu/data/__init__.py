@@ -2,6 +2,7 @@ from .device_sampler import DeviceRaySampler
 from .nerf_synthetic import SubjectLoader
 from .procedural import (
     ProceduralDynamicSceneLoader,
+    ProceduralOpaqueSceneLoader,
     ProceduralSceneLoader,
     ProceduralUnboundedSceneLoader,
 )
@@ -11,5 +12,6 @@ __all__ = [
     "DeviceRaySampler",
     "ProceduralSceneLoader",
     "ProceduralDynamicSceneLoader",
+    "ProceduralOpaqueSceneLoader",
     "ProceduralUnboundedSceneLoader",
 ]

@@ -153,10 +153,21 @@ class CPGridEncoder:
     # concatenated after the line levels.  Empty = pure CP (the default).
     plane_resolutions: Sequence[int] = ()
     plane_ranks: Sequence[int] = ()
+    # How a plane level's three plane features combine:
+    #   "product" — Hadamard of the (xy, xz, yz) features (K-Planes style;
+    #       rank outputs per level).
+    #   "vm" — TensoRF's vector-matrix decomposition: each plane feature
+    #       multiplies a 1-D line feature of its COMPLEMENTARY axis
+    #       (xy*z, xz*y, yz*x) and the three products are CONCATENATED
+    #       (3*rank outputs per level).  Additive mixing across components
+    #       happens in the MLP — a linear composition that optimizes more
+    #       easily than the triple product (TensoRF paper, Sec. 4).
+    plane_mode: str = "product"
 
     @property
     def output_dim(self) -> int:
-        return int(sum(self.ranks)) + int(sum(self.plane_ranks))
+        per_plane = 3 if self.plane_mode == "vm" else 1
+        return int(sum(self.ranks)) + per_plane * int(sum(self.plane_ranks))
 
     def init(self, key: jax.Array) -> Dict:
         lines = []
@@ -171,7 +182,7 @@ class CPGridEncoder:
             )
         params = {"lines": lines}
         if self.plane_resolutions:
-            planes = []
+            planes, plines = [], []
             for R, rank in zip(self.plane_resolutions, self.plane_ranks):
                 key, sub = jax.random.split(key)
                 planes.append(
@@ -179,7 +190,17 @@ class CPGridEncoder:
                     + 0.1
                     * jax.random.normal(sub, (3, R, R, rank), jnp.float32)
                 )
+                if self.plane_mode == "vm":
+                    key, sub = jax.random.split(key)
+                    # complementary-axis line per plane (z, y, x), same R
+                    plines.append(
+                        1.0
+                        + 0.1
+                        * jax.random.normal(sub, (3, R, rank), jnp.float32)
+                    )
             params["planes"] = planes
+            if self.plane_mode == "vm":
+                params["plane_lines"] = plines
         return params
 
     def __call__(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
@@ -209,8 +230,9 @@ class CPGridEncoder:
             elif self.remat == "full":
                 fn = jax.checkpoint(fn)
             feats.append(fn(x, line))
-        for R, plane in zip(
-            self.plane_resolutions, params.get("planes", ())
+        plines = params.get("plane_lines", [None] * len(self.plane_resolutions))
+        for R, plane, pline in zip(
+            self.plane_resolutions, params.get("planes", ()), plines
         ):
             fn = functools.partial(self._plane_level_encode, R=R)
             if self.remat == "dots":
@@ -219,7 +241,10 @@ class CPGridEncoder:
                 )
             elif self.remat == "full":
                 fn = jax.checkpoint(fn)
-            feats.append(fn(x, plane))
+            if self.plane_mode == "vm":
+                feats.append(fn(x, plane, pline))
+            else:
+                feats.append(fn(x, plane))
         return jnp.concatenate(feats, axis=-1)
 
     def param_regularizer(self, params: Dict) -> jnp.ndarray:
@@ -235,15 +260,23 @@ class CPGridEncoder:
             du = plane[:, 1:, :, :] - plane[:, :-1, :, :]
             dv = plane[:, :, 1:, :] - plane[:, :, :-1, :]
             terms.append(jnp.mean(du * du) + jnp.mean(dv * dv))
+        for pline in params.get("plane_lines", ()):
+            d = pline[:, 1:, :] - pline[:, :-1, :]
+            terms.append(jnp.mean(d * d))
         return sum(terms)
 
-    def _plane_level_encode(self, x, plane, *, R: int) -> jnp.ndarray:
-        """One tri-plane level: product of three bilinear plane features.
+    def _plane_level_encode(self, x, plane, pline=None, *, R: int) -> jnp.ndarray:
+        """One tri-plane level.
 
         ``plane`` is (3, R, R, rank) for the (xy, xz, yz) planes.  Bilinear
         interpolation of plane ``p`` at (u, v) is the separable chain
         ``hat_u @ P_p @ hat_v`` — evaluated as one (N, R) x (R, R*rank)
         MXU matmul and a (N, R, rank) * (N, R, 1) sum-reduce, not gathers.
+
+        plane_mode="product": Hadamard of the three plane features (rank
+        outputs).  plane_mode="vm" (``pline`` (3, R, rank) given): TensoRF
+        VM — each plane feature times its complementary-axis line feature
+        (xy*z, xz*y, yz*x), concatenated (3*rank outputs).
         """
         rank = plane.shape[-1]
         cd = self.compute_dtype
@@ -263,6 +296,19 @@ class CPGridEncoder:
         ).reshape(3, -1, R, rank)  # (3, N, R, rank)
         hat_v = jnp.stack([hat[b] for _, b in pairs])  # (3, N, R)
         f = jnp.sum(t * hat_v[..., None], axis=2)  # (3, N, rank)
+        if pline is not None:
+            # complementary axes of (xy, xz, yz) = (z, y, x)
+            hat_w = jnp.stack([hat[2], hat[1], hat[0]])  # (3, N, R)
+            lf = jax.lax.dot_general(
+                hat_w,
+                pline.astype(cd),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=cd,
+            )  # (3, N, rank)
+            vm = f * lf  # (3, N, rank)
+            return jnp.concatenate(
+                [vm[0], vm[1], vm[2]], axis=-1
+            ).astype(jnp.float32)
         return (f[0] * f[1] * f[2]).astype(jnp.float32)
 
     def _level_encode(self, x, line, *, R: int, kernel: str) -> jnp.ndarray:
@@ -358,6 +404,7 @@ class CPRadianceField:
     # the quality configs add e.g. plane_resolutions=(64,), plane_ranks=(16,).
     plane_resolutions: Sequence[int] = ()
     plane_ranks: Sequence[int] = ()
+    plane_mode: str = "product"  # see CPGridEncoder.plane_mode
     geo_feat_dim: int = 15
     hidden_dim: int = 64
     compute_dtype: Any = jnp.bfloat16
@@ -383,6 +430,7 @@ class CPRadianceField:
                 remat=self.encoder_remat,
                 plane_resolutions=tuple(self.plane_resolutions),
                 plane_ranks=tuple(self.plane_ranks),
+                plane_mode=self.plane_mode,
             ),
         )
 

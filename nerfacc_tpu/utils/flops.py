@@ -28,11 +28,14 @@ def cp_encoder_flops_per_sample(encoder) -> int:
     total = 0
     for R, rank in zip(encoder.resolutions, encoder.ranks):
         total += 3 * 2 * R * rank
+    vm = getattr(encoder, "plane_mode", "product") == "vm"
     for R, rank in zip(
         getattr(encoder, "plane_resolutions", ()),
         getattr(encoder, "plane_ranks", ()),
     ):
         total += 3 * (2 * R * R * rank + 2 * R * rank)
+        if vm:
+            total += 3 * 2 * R * rank  # complementary-axis line dots
     return total
 
 

@@ -32,6 +32,8 @@ def main():
     p.add_argument("--ranks", type=int, nargs="*", default=None)
     p.add_argument("--plane_res", type=int, nargs="*", default=[])
     p.add_argument("--plane_rank", type=int, nargs="*", default=[])
+    p.add_argument("--plane_mode", type=str, default="product",
+                   choices=["product", "vm"])
     p.add_argument("--field_reg_weight", type=float, default=0.0)
     p.add_argument("--max_steps", type=int, default=2500)
     p.add_argument("--checkpoints", type=int, nargs="*",
@@ -73,6 +75,7 @@ def main():
             aabb=tuple(aabb),
             plane_resolutions=tuple(args.plane_res),
             plane_ranks=tuple(args.plane_rank),
+            plane_mode=args.plane_mode,
             **fkw,
         )
     elif args.field == "tensorf":

@@ -176,6 +176,60 @@ def test_triplane_encoder_matches_bilinear_gather():
     assert float(jnp.abs(g["planes"][0]).sum()) > 0
 
 
+def test_vm_plane_encoder_matches_gather_reference():
+    """plane_mode="vm" (TensoRF vector-matrix): each plane's bilinear
+    feature times the LINEAR interpolation of its complementary-axis line,
+    the three products concatenated — exact in f32 vs a gather reference."""
+    R, rank = 16, 3
+    enc = CPGridEncoder(
+        resolutions=(8,),
+        ranks=(2,),
+        plane_resolutions=(R,),
+        plane_ranks=(rank,),
+        plane_mode="vm",
+        compute_dtype=jnp.float32,
+    )
+    assert enc.output_dim == 2 + 3 * rank
+    params = enc.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (48, 3))
+    out = np.asarray(enc(params, x))[:, 2:]  # (48, 3*rank)
+    plane = np.asarray(params["planes"][0])  # (3, R, R, rank)
+    pline = np.asarray(params["plane_lines"][0])  # (3, R, rank)
+
+    def bilerp(P, u, v):
+        pu, pv = u * (R - 1), v * (R - 1)
+        i0 = np.clip(np.floor(pu).astype(int), 0, R - 1)
+        j0 = np.clip(np.floor(pv).astype(int), 0, R - 1)
+        i1, j1 = np.minimum(i0 + 1, R - 1), np.minimum(j0 + 1, R - 1)
+        fu, fv = pu - i0, pv - j0
+        return (
+            P[i0, j0] * (1 - fu)[:, None] * (1 - fv)[:, None]
+            + P[i1, j0] * fu[:, None] * (1 - fv)[:, None]
+            + P[i0, j1] * (1 - fu)[:, None] * fv[:, None]
+            + P[i1, j1] * fu[:, None] * fv[:, None]
+        )
+
+    def lerp(L, w):
+        pw = w * (R - 1)
+        i0 = np.clip(np.floor(pw).astype(int), 0, R - 1)
+        i1 = np.minimum(i0 + 1, R - 1)
+        f = (pw - i0)[:, None]
+        return L[i0] * (1 - f) + L[i1] * f
+
+    xs = np.asarray(x)
+    want = np.concatenate(
+        [
+            bilerp(plane[0], xs[:, 0], xs[:, 1]) * lerp(pline[0], xs[:, 2]),
+            bilerp(plane[1], xs[:, 0], xs[:, 2]) * lerp(pline[1], xs[:, 1]),
+            bilerp(plane[2], xs[:, 1], xs[:, 2]) * lerp(pline[2], xs[:, 0]),
+        ],
+        axis=-1,
+    )
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+    g = jax.grad(lambda p: jnp.sum(enc(p, x) ** 2))(params)
+    assert float(jnp.abs(g["plane_lines"][0]).sum()) > 0
+
+
 def test_param_regularizer_tv():
     """TV regularizer: zero on constant tables, positive otherwise, and
     differentiable (smoothing gradient points toward the neighbors)."""

@@ -294,7 +294,7 @@ def main():
                 f"loss={float(np.asarray(auxs['loss'])[-1]):.5f} | "
                 f"psnr={psnr:.2f} | "
                 f"n_rendering_samples={n_samples} | "
-                f"num_rays={len(datas[0]['rgb'])} | "
+                f"num_rays={n_rays_now} | "
                 f"samples/s={samples_done / max(elapsed, 1e-9):.3g}"
             )
 

@@ -34,6 +34,9 @@ def main():
     p.add_argument("--plane_rank", type=int, nargs="*", default=[])
     p.add_argument("--plane_mode", type=str, default="product",
                    choices=["product", "vm"])
+    p.add_argument("--hidden_dim", type=int, default=64)
+    p.add_argument("--encoder_remat", type=str, default="none",
+                   choices=["none", "dots", "full"])
     p.add_argument("--field_reg_weight", type=float, default=0.0)
     p.add_argument("--max_steps", type=int, default=2500)
     p.add_argument("--checkpoints", type=int, nargs="*",
@@ -76,6 +79,8 @@ def main():
             plane_resolutions=tuple(args.plane_res),
             plane_ranks=tuple(args.plane_rank),
             plane_mode=args.plane_mode,
+            hidden_dim=args.hidden_dim,
+            encoder_remat=args.encoder_remat,
             **fkw,
         )
     elif args.field == "tensorf":

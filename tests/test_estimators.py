@@ -54,13 +54,18 @@ def test_occ_grid_sampled_update_decays_stale_cells():
     assert np.asarray(state.binaries).mean() > 0.99
     # then many sampled-phase updates with an empty field: EMA decays the
     # touched cells (each update touches ~half the cells; with decay 0.5 a
-    # cell needs ~7 touches to fall below the 1e-2 threshold)
-    for step in range(100, 140):
-        key, sub = jax.random.split(key)
-        state = update_occ_grid(
-            state, sub, jnp.asarray(step), lambda x: jnp.zeros(x.shape[0]),
+    # cell needs ~7 touches to fall below the 1e-2 threshold).  One jitted
+    # program re-dispatched per step — per-call retracing made this the
+    # slowest test of the suite (28 s) at identical coverage.
+    upd = jax.jit(
+        lambda st, k, step: update_occ_grid(
+            st, k, step, lambda x: jnp.zeros(x.shape[0]),
             warmup_steps=10, ema_decay=0.5,
         )
+    )
+    for step in range(100, 124):
+        key, sub = jax.random.split(key)
+        state = upd(state, sub, jnp.asarray(step))
     assert np.asarray(state.binaries).mean() < 0.5
 
 

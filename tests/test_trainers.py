@@ -381,41 +381,16 @@ def test_pooled_eval_renderer_matches_alive_ray():
         np.asarray(op_cur), np.asarray(op_alive), atol=2e-2
     )
 
-
-def test_eval_sample_budget_override_matches():
-    """eval_sample_budget only changes round granularity, never the image:
-    a trainer with a different eval budget must reproduce the default
-    renderer's output exactly (same resumable-transmittance math)."""
+    # eval_sample_budget only changes round granularity, never the image: a
+    # trainer with a different eval budget must reproduce the default
+    # renderer's output exactly (same resumable-transmittance math).
+    # (Folded in here to reuse the trained state — a standalone test paid
+    # ~19 s of duplicate trainer compiles for one extra renderer compile.)
     import dataclasses as _dc
 
-    trainer = NGPOccTrainer(
-        field=_tiny_field(),
-        aabb=AABB,
-        grid_resolution=16,
-        render_step_size=0.05,
-        sample_budget=1024,
-        max_samples_per_ray=128,
-        warmup_steps=4,
-        update_interval=2,
-        max_steps=100,
-    )
-    state = trainer.init_state()
-    key = jax.random.PRNGKey(0)
-    for i in range(6):
-        key, sub = jax.random.split(key)
-        state, _ = trainer.train_step(state, _tiny_batch(sub))
-
-    batch = _tiny_batch(jax.random.PRNGKey(7), n_rays=32)
-    o = jnp.asarray(batch["rays_o"])
-    d = jnp.asarray(batch["rays_d"])
-    bkgd = jnp.ones((3,))
-    t = jnp.zeros((), jnp.float32)
-    c_ref, op_ref, _ = trainer._render_chunk_pooled(
-        state.params, state.occ_state, o, d, bkgd, t
-    )
     big = _dc.replace(trainer, eval_sample_budget=4096)
     c_big, op_big, _ = big._render_chunk_pooled(
         state.params, state.occ_state, o, d, bkgd, t
     )
-    np.testing.assert_allclose(np.asarray(c_big), np.asarray(c_ref), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(op_big), np.asarray(op_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c_big), np.asarray(c_pool), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(op_big), np.asarray(op_pool), atol=1e-4)

@@ -135,8 +135,11 @@ def main():
                 f"psnr={psnr:.2f} | num_rays={len(datas[0]['rgb'])}"
             )
 
-    psnr_avg = trainer.eval_psnr(state, test_dataset)
-    print(f"evaluation: psnr_avg={psnr_avg:.2f}")
+    m = trainer.eval_metrics(state, test_dataset)
+    print(
+        f"evaluation: psnr_avg={m['psnr']:.2f} ssim_avg={m['ssim']:.4f} | "
+        f"train_wall={time.time() - tic:.1f}s"
+    )
 
 
 if __name__ == "__main__":

@@ -167,6 +167,12 @@ class NGPOccTrainer:
     # chunk; ~10x faster) — "alive" is the classic full-batch while-loop
     # window marcher (render_rays_occgrid_test), kept for reference.
     eval_renderer: str = "pooled"
+    # cursor renderer: coarse window-list capacity per chunk.  If a chunk's
+    # surviving windows exceed it, rays re-coarse in an outer iteration
+    # (one extra coarse phase + 1.3M-key sort each) — on translucent scenes
+    # at 8k-ray chunks the default round-3 cap (2^17) forced ~2 re-coarses
+    # per chunk, which is exactly the cost the cursor design hoists out.
+    cursor_max_windows: int = 1 << 18
     # per-round sample budget for the pooled/cursor EVAL renderers; None =
     # reuse the train `sample_budget`.  Eval at frame scale is sample-bound
     # (rounds = total_samples / budget) while each round also pays fixed
@@ -748,6 +754,7 @@ class NGPOccTrainer:
             window_size=self.window_size,
             max_coarse=max_coarse,
             fine_probes=self.fine_probes,
+            max_windows=self.cursor_max_windows,
         )
         color, opacity, depth = chunk_fn(o, d)
         depth = depth / jnp.clip(opacity, min=jnp.finfo(jnp.float32).eps)

@@ -35,6 +35,7 @@ def main():
     p.add_argument("--plane_mode", type=str, default="product",
                    choices=["product", "vm"])
     p.add_argument("--hidden_dim", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--encoder_remat", type=str, default="none",
                    choices=["none", "dots", "full"])
     p.add_argument("--field_reg_weight", type=float, default=0.0)
@@ -101,6 +102,7 @@ def main():
         render_step_size=5e-3,
         fine_probes=args.fine_probes,
         field_reg_weight=args.field_reg_weight,
+        lr=args.lr,
         seed=args.seed,
     )
     state = trainer.init_state()

@@ -107,8 +107,23 @@ class BARFTrainer:
             self.max_steps,
             self.lr_field_end / self.lr_field,
         )
+        # Pose lr reaches lr_pose_end by the END OF THE COARSE-TO-FINE
+        # ANNEAL, not by max_steps.  Measured on the 10k-step procedural
+        # run with the max_steps horizon: the Sim3-aligned rotation error
+        # bottomed at 0.72 deg @2k and then DIVERGED to 3.3 deg as the
+        # anneal unlocked the high PE bands — with poses still mobile, the
+        # sharpening field absorbs per-camera drift while staying
+        # photometrically consistent (train PSNR flat).  Registration must
+        # finish in the coarse phase (BARF gets this from its 200k-step
+        # schedules; a compressed schedule has to compress the pose lr
+        # horizon with the anneal).
+        pose_horizon = int(
+            self.max_steps * (self.pe_c2f[1] if self.pe_c2f else 1.0)
+        )
         pose_sched = optax.exponential_decay(
-            self.lr_pose, self.max_steps, self.lr_pose_end / self.lr_pose
+            self.lr_pose,
+            max(pose_horizon, 1),
+            self.lr_pose_end / self.lr_pose,
         )
         self.optimizer = optax.multi_transform(
             {

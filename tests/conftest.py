@@ -26,3 +26,18 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite is compile-bound (165 tests,
+# many structurally-identical trainer/step programs built from distinct
+# jitted closures — the in-process jit cache cannot dedupe those, the
+# HLO-keyed persistent cache can).  Measured: a warm cache runs the
+# heaviest trainer test 20.6 s -> 6.4 s; cold runs still dedupe repeats
+# within the run.  Override the location with JAX_COMPILATION_CACHE_DIR.
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(
+        os.path.expanduser("~"), ".cache", "nerfacc_tpu_test_xla"
+    ),
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

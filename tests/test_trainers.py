@@ -121,7 +121,7 @@ def test_occ_trainer_dynamic_budget_buckets():
         update_interval=2,
         max_steps=100,
         dynamic_budget=True,
-        budget_granularity=256,
+        budget_granularity=1024,
     )
     state = trainer.init_state()
     key = jax.random.PRNGKey(0)
@@ -129,8 +129,11 @@ def test_occ_trainer_dynamic_budget_buckets():
     assert trainer._pick_budget() is None
     buckets = []
     # enough calls for the warmup-phase (dense grid) demand spike to age
-    # out of the sliding demand window
-    for i in range(16):
+    # out of the sliding demand window.  (Coarse 1024 granularity: demand
+    # jitter at 256 granularity produced a fresh bucket — and a full step
+    # recompile — every few calls, tripling the test's wall time for the
+    # same assertions.)
+    for i in range(12):
         key, sub = jax.random.split(key)
         buckets.append(trainer._pick_budget())
         state, aux = trainer.train_step(state, _tiny_batch(sub))
@@ -138,10 +141,10 @@ def test_occ_trainer_dynamic_budget_buckets():
     # demand on the tiny scene (~2.6k samples) is far below 8192: a bucket
     # must kick in
     assert buckets[-1] is not None and buckets[-1] < 8192
-    assert buckets[-1] % 256 == 0
+    assert buckets[-1] % 1024 == 0
     # the bucket still covers the demand the controller reports
     assert buckets[-1] >= float(jnp.max(aux["n_total_samples"]))
-    assert int(state.step) == 16
+    assert int(state.step) == 12
 
 
 def test_prop_trainer_multi_step_scan():

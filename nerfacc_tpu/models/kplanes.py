@@ -150,6 +150,16 @@ class KPlanesRadianceField:
             ),
         )
 
+    @property
+    def max_eval_chunk(self) -> int:
+        """Occupancy-update eval chunk bound (see update_occ_grid): each
+        plane level materializes a (6, N, R*rank) bf16 dot output — the
+        dense refresh's whole-grid N (2M cells at 128^3) would be tens of
+        GB.  Cap the chunk so the intermediate stays ~<=1.5 GB."""
+        per = sum(R * r for R, r in zip(self.resolutions, self.ranks))
+        cap = max(2**12, int(1.25e8) // max(per, 1))
+        return 1 << (cap.bit_length() - 1)
+
     def init(self, key: jax.Array) -> Dict:
         k1, k2, k3 = jax.random.split(key, 3)
         params = {

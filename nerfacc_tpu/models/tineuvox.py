@@ -62,6 +62,15 @@ class TiNeuVoxRadianceField:
     plane_ranks: Sequence[int] = ()
     deform_width: int = 64
     deform_depth: int = 3
+    # Warp magnitude bound (world units): Δx = tanh(raw) * deform_scale.
+    # The raw linear output is unbounded — at the factorized-grid-friendly
+    # lr (1e-2, Adam eps 1e-15) it explodes within the first thousand
+    # steps and shoves every sample outside the aabb (measured: train PSNR
+    # pinned at ~9 on the dynamic procedural scene).  TiNeuVox avoids this
+    # with a separate tiny net lr (8e-4); a single-optimizer trainer gets
+    # the same stability from the bounded warp, which is linear near zero
+    # so the zero-init behavior is unchanged.
+    deform_scale: float = 0.3
     geo_feat_dim: int = 15
     hidden_dim: int = 64
     use_viewdirs: bool = True
@@ -133,11 +142,13 @@ class TiNeuVoxRadianceField:
         return params
 
     def _deform(self, params, x, t):
-        """Coordinate offset Δx(x, t) in world units."""
+        """Coordinate offset Δx(x, t) in world units, bounded to
+        ±deform_scale per axis (see deform_scale)."""
         h = jnp.concatenate(
             [self.posi_encoder(x), self.time_encoder(t)], axis=-1
         )
-        return _mlp_apply(params["deform"], h, self.compute_dtype)
+        raw = _mlp_apply(params["deform"], h, self.compute_dtype)
+        return jnp.tanh(raw) * self.deform_scale
 
     def _features(self, params, x, t):
         t = t.reshape(-1, 1).astype(jnp.float32)

@@ -162,11 +162,15 @@ class NGPOccTrainer:
     # stratified near-plane jitter (reference: occ_grid.py:162-163); off is
     # only useful for deterministic tests (e.g. DP-vs-single equivalence)
     stratified: bool = True
-    # eval/inference renderer: "pooled" marches with the train-path pooled
-    # traversal + flat compaction (dead rays cost nothing; 2-3 rounds per
-    # chunk; ~10x faster) — "alive" is the classic full-batch while-loop
+    # eval/inference renderer: "cursor" (default) hoists the coarse phase
+    # out of the round loop (one CoarsePool per chunk, per-ray window
+    # cursors) — measured fastest at frame scale once the window list holds
+    # a whole chunk (0.95 vs pooled's 1.12 s / 320^2 frame; round 3's
+    # cursor regression was the 2^17 window-list cap forcing re-coarses).
+    # "pooled" re-coarses every round with the train-path traversal;
+    # "" / anything else falls back to the classic full-batch while-loop
     # window marcher (render_rays_occgrid_test), kept for reference.
-    eval_renderer: str = "pooled"
+    eval_renderer: str = "cursor"
     # cursor renderer: coarse window-list capacity per chunk.  If a chunk's
     # surviving windows exceed it, rays re-coarse in an outer iteration
     # (one extra coarse phase + 1.3M-key sort each) — on translucent scenes

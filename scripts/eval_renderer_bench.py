@@ -56,7 +56,7 @@ def main():
         if args.scene == "opaque"
         else ProceduralSceneLoader
     )
-    train_ds = loader_cls(split="train", num_rays=8192, seed=args.seed)
+    train_ds = loader_cls(split="train", num_rays=1024, seed=args.seed)
     test_ds = loader_cls(split="test")
 
     aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
@@ -71,13 +71,25 @@ def main():
         seed=args.seed,
     )
     state = trainer.init_state()
-    sampler = DeviceRaySampler.from_loader(train_ds, num_rays=8192)
+    # dynamic ray-batch controller (same role as the train scripts'): a
+    # FIXED large ray count starves the loss during occupancy warmup —
+    # budget truncation masks most rays out, which stalled learning
+    # entirely on the opaque scene (13.6 dB at 10k) while the translucent
+    # scene limped through.  Start small, grow toward the sample budget.
+    base_sampler = DeviceRaySampler.from_loader(train_ds, num_rays=1024)
+    buckets = [1024 * 2**i for i in range(6)]
+    num_rays = 1024
     M_steps = 32
     t0 = time.time()
     step = 0
     while step < args.train_steps:
+        sampler = base_sampler.with_num_rays(num_rays)
         state, auxs = trainer.train_steps_sampled(state, sampler, M_steps)
         step += M_steps
+        n_total = int(np.asarray(auxs["n_total_samples"])[-1])
+        if n_total > 0:
+            want = int(num_rays * ((1 << 18) / float(n_total)))
+            num_rays = max([b for b in buckets if b <= max(want, 1024)])
     jax.block_until_ready(auxs["loss"])
     print(json.dumps({
         "scene": args.scene, "train_steps": step,

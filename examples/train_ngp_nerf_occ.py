@@ -50,11 +50,13 @@ def main():
         "--field",
         type=str,
         default="cp",
-        choices=["cp", "ngp", "tensorf"],
+        choices=["cp", "ngp", "tensorf", "voxel"],
         help="cp: all-matmul factorized field (TPU fast path); "
         "ngp: hash-grid field (reference-parity path); "
         "tensorf: VM decomposition (line + tri-plane levels, the "
-        "reference's TensoRF benchmark family)",
+        "reference's TensoRF benchmark family); "
+        "voxel: dense voxel grid, one row gather per sample per level "
+        "(DVGO role, direct-indexing quality tier)",
     )
     parser.add_argument(
         "--steps_per_call",
@@ -186,6 +188,10 @@ def main():
 
         field = TensoRFRadianceField(aabb=tuple(aabb), unbounded=unbounded,
                                      encoder_remat=args.encoder_remat)
+    elif args.field == "voxel":
+        from nerfacc_tpu.models import VoxelRadianceField
+
+        field = VoxelRadianceField(aabb=tuple(aabb), unbounded=unbounded)
     else:
         field = NGPRadianceField(aabb=tuple(aabb), unbounded=unbounded)
     trainer = NGPOccTrainer(

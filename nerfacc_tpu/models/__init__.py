@@ -16,6 +16,7 @@ from .cp_field import (
 )
 from .kplanes import KPlanesEncoder, KPlanesRadianceField
 from .tineuvox import TiNeuVoxRadianceField
+from .voxel_field import VoxelGridEncoder, VoxelRadianceField
 from .ngp import NGPDensityField, NGPRadianceField, contract_to_unisphere, trunc_exp
 from .pose import (
     coarse_to_fine_alpha,
@@ -34,6 +35,8 @@ __all__ = [
     "KPlanesEncoder",
     "KPlanesRadianceField",
     "TiNeuVoxRadianceField",
+    "VoxelGridEncoder",
+    "VoxelRadianceField",
     "coarse_to_fine_alpha",
     "compose_pose",
     "perturb_poses",

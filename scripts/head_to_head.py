@@ -27,7 +27,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--name", type=str, default="run")
     p.add_argument("--field", type=str, default="cp",
-                   choices=["cp", "ngp", "tensorf"])
+                   choices=["cp", "ngp", "tensorf", "voxel"])
+    p.add_argument("--channels", type=int, nargs="*", default=None)
     p.add_argument("--resolutions", type=int, nargs="*", default=None)
     p.add_argument("--ranks", type=int, nargs="*", default=None)
     p.add_argument("--plane_res", type=int, nargs="*", default=[])
@@ -88,6 +89,16 @@ def main():
         from nerfacc_tpu.models import TensoRFRadianceField
 
         field = TensoRFRadianceField(aabb=tuple(aabb), **fkw)
+    elif args.field == "voxel":
+        from nerfacc_tpu.models import VoxelRadianceField
+
+        vkw = dict(fkw)
+        vkw.pop("ranks", None)
+        if args.channels is not None:
+            vkw["channels"] = tuple(args.channels)
+        field = VoxelRadianceField(
+            aabb=tuple(aabb), hidden_dim=args.hidden_dim, **vkw
+        )
     else:
         from nerfacc_tpu.models import NGPRadianceField
 

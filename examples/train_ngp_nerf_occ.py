@@ -92,6 +92,13 @@ def main():
     parser.add_argument("--sampled_occ_update", action="store_true",
                         help="reference-style sampled occupancy update "
                         "instead of the dense all-cell refresh")
+    # checkpoint save/resume (reference analog: train_mlp_nerf.py's
+    # torch.save/load of model+optimizer+estimator+step) — the TrainState
+    # pytree carries params, opt state, occupancy grid, PRNG key and step
+    parser.add_argument("--model_path", type=str, default=None,
+                        help="checkpoint path: resumes from it when "
+                        "present; saved every --ckpt_every steps")
+    parser.add_argument("--ckpt_every", type=int, default=5000)
     args = parser.parse_args()
 
     import jax
@@ -210,6 +217,13 @@ def main():
         **trainer_kwargs,
     )
     state = trainer.init_state()
+    start_step = 0
+    if args.model_path is not None and os.path.exists(args.model_path):
+        from nerfacc_tpu.utils.checkpoint import load_checkpoint
+
+        state = load_checkpoint(args.model_path, like=state)
+        start_step = int(np.asarray(state.step))
+        print(f"resumed from {args.model_path} at step {start_step}")
 
     base_sampler = None
     if args.device_sampler and hasattr(train_dataset, "images"):
@@ -227,7 +241,7 @@ def main():
     tic = time.time()
     samples_done = 0
     M = max(1, args.steps_per_call)
-    step = 0
+    step = start_step
     trunc_ema = 0.0
     n_samples = 0
     # Aux reads are deferred TWO calls: materializing the just-dispatched
@@ -307,6 +321,16 @@ def main():
         if args.eval_every and step % args.eval_every < M and step > M:
             psnr_avg = trainer.eval_psnr(state, test_dataset)
             print(f"evaluation: step={step} psnr_avg={psnr_avg:.2f}")
+
+        if (
+            args.model_path is not None
+            and step % args.ckpt_every < M
+            and step > start_step
+        ):
+            from nerfacc_tpu.utils.checkpoint import save_checkpoint
+
+            jax.block_until_ready(state.params)
+            save_checkpoint(args.model_path, state)
 
     for entry in pending_auxs:
         _consume_aux(entry)

@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--trans_std", type=float, default=0.05)
     parser.add_argument("--no_c2f", action="store_true",
                         help="disable the coarse-to-fine PE anneal (ablation)")
+    parser.add_argument("--pose_horizon", type=float, default=None,
+                        help="pose-lr decay horizon as a fraction of "
+                        "max_steps (default: the PE anneal end)")
     parser.add_argument("--log_every", type=int, default=1000)
     parser.add_argument("--steps_per_call", type=int, default=8)
     parser.add_argument("--eval_images", type=int, default=3)
@@ -102,6 +105,7 @@ def main():
         # steps) — freeze them while the field fits coarse structure
         pose_start_step=min(500, args.max_steps // 4),
         pe_c2f=None if args.no_c2f else (0.1, 0.5),
+        pose_lr_horizon_frac=args.pose_horizon,
         seed=args.seed,
     )
     state = trainer.init_state()

@@ -87,6 +87,12 @@ class BARFTrainer:
     # field fits coarse structure makes the subsequent pose gradients point
     # home.  BARF gets the same effect from its very long schedules.
     pose_start_step: int = 200
+    # Fraction of max_steps over which the pose lr decays to lr_pose_end;
+    # None = the coarse-to-fine anneal end (pe_c2f[1]).  The 10k-step
+    # measurement: error bottoms mid-anneal (0.74 deg @3-4k) and drifts
+    # ~0.2 deg while the lr tail rides out — a shorter horizon locks the
+    # trough in.
+    pose_lr_horizon_frac: Optional[float] = None
     occ_thre: float = 1e-2
     ema_decay: float = 0.95
     warmup_steps: int = 256
@@ -117,9 +123,12 @@ class BARFTrainer:
         # finish in the coarse phase (BARF gets this from its 200k-step
         # schedules; a compressed schedule has to compress the pose lr
         # horizon with the anneal).
-        pose_horizon = int(
-            self.max_steps * (self.pe_c2f[1] if self.pe_c2f else 1.0)
+        horizon_frac = (
+            self.pose_lr_horizon_frac
+            if self.pose_lr_horizon_frac is not None
+            else (self.pe_c2f[1] if self.pe_c2f else 1.0)
         )
+        pose_horizon = int(self.max_steps * horizon_frac)
         pose_sched = optax.exponential_decay(
             self.lr_pose,
             max(pose_horizon, 1),

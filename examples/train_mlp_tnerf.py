@@ -37,6 +37,8 @@ def main():
         "benchmark family)",
     )
     parser.add_argument("--field_reg_weight", type=float, default=0.0)
+    parser.add_argument("--lr", type=float, default=None,
+                        help="override the per-field default learning rate")
     args = parser.parse_args()
 
     import jax
@@ -84,6 +86,8 @@ def main():
     else:
         field = TNeRFRadianceField()
         lr, adam_eps, warmup = 5e-4, 1e-8, 0
+    if args.lr is not None:
+        lr = args.lr
     trainer = NGPOccTrainer(
         field=field,
         aabb=aabb,

@@ -176,13 +176,21 @@ def main():
         test_dataset = ProceduralUnboundedSceneLoader(split="test", n_test=6)
         weight_decay = 0.0
     else:
-        from nerfacc_tpu.data import ProceduralSceneLoader
+        from nerfacc_tpu.data import (
+            ProceduralOpaqueSceneLoader,
+            ProceduralSceneLoader,
+        )
 
+        loader_cls = (
+            ProceduralOpaqueSceneLoader
+            if args.scene == "proceduralopaque"
+            else ProceduralSceneLoader
+        )
         aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
-        train_dataset = ProceduralSceneLoader(
+        train_dataset = loader_cls(
             split="train", num_rays=args.init_batch_size, seed=args.seed
         )
-        test_dataset = ProceduralSceneLoader(split="test")
+        test_dataset = loader_cls(split="test")
         weight_decay = 1e-6
 
     if args.field == "cp":

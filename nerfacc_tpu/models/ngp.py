@@ -18,12 +18,20 @@ from .encoders import HashGridEncoder, spherical_harmonics_16
 
 @jax.custom_vjp
 def trunc_exp(x):
-    """exp with clamped backward (reference: ngp.py:23-39, from torch-ngp)."""
-    return jnp.exp(x)
+    """exp with clamped backward (reference: ngp.py:23-39, from torch-ngp).
+
+    The forward is additionally capped at exp(30) ~ 1e13 (the reference's
+    is not): a density of 1e13 is already opacity 1 within any step size,
+    but an UNCAPPED exp overflows f32 at x ~ 88 and the resulting
+    inf * 0 products in the transmittance chain turn the whole train state
+    NaN — measured on the hard-surface (opaque) procedural scene, where
+    surface-fitting pushes raw densities far past the soft-scene regime.
+    """
+    return jnp.exp(jnp.clip(x, max=30.0))
 
 
 def _trunc_exp_fwd(x):
-    return jnp.exp(x), x
+    return jnp.exp(jnp.clip(x, max=30.0)), x
 
 
 def _trunc_exp_bwd(x, g):

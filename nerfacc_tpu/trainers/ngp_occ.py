@@ -194,6 +194,13 @@ class NGPOccTrainer:
     dynamic_budget: bool = True
     budget_granularity: int = 32768
     budget_headroom: float = 1.15
+    # global gradient-norm clip (0 disables).  Hard-surface scenes and
+    # multiplicative grid encoders can blow up mid-training at the
+    # factorized-grid lr (measured: the opaque procedural scene NaNs and
+    # the K-Planes dynamic run collapses 30 -> 9 dB between 2.5k-5k
+    # steps); a generous clip bounds the runaway step without touching
+    # healthy training.
+    grad_clip: float = 0.0
 
     def __post_init__(self):
         if self.fine_probes == "auto":
@@ -210,7 +217,13 @@ class NGPOccTrainer:
         self.schedule = make_lr_schedule(
             self.max_steps, self.lr, self.warmup_lr_steps
         )
+        clip = (
+            [optax.clip_by_global_norm(self.grad_clip)]
+            if self.grad_clip > 0
+            else []
+        )
         self.optimizer = optax.chain(
+            *clip,
             optax.add_decayed_weights(self.weight_decay),
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=self.adam_eps),
             optax.scale_by_learning_rate(self.schedule),

@@ -267,10 +267,18 @@ def main():
         samples_done += int(np.asarray(auxs["n_rendering_samples"]).sum())
         if n_total > 0 and args.target_sample_batch_size > 0:
             num_rays = train_dataset.num_rays
-            num_rays = int(
+            want = int(
                 num_rays * (args.target_sample_batch_size / float(n_total))
             )
-            train_dataset.update_num_rays(round_to_bucket(num_rays, buckets))
+            # Damp growth to 2x per adjustment: on hard-surface scenes the
+            # per-ray demand swings with every occupancy refresh, and an
+            # undamped controller oscillates between the extreme buckets
+            # (measured: 2048 <-> 131072 rays on the opaque scene — each
+            # visited bucket is a full step recompile, and the overshoot
+            # truncates the whole batch, collapsing the loss).  Shrinking
+            # stays immediate: overflow starves tail rays.
+            want = min(want, num_rays * 2)
+            train_dataset.update_num_rays(round_to_bucket(want, buckets))
 
         # Cliff guard: a persistently high truncated-ray fraction means the
         # traversal budget (window pool / per-ray windows / sample budget) is

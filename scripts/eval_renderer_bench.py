@@ -89,6 +89,7 @@ def main():
         n_total = int(np.asarray(auxs["n_total_samples"])[-1])
         if n_total > 0:
             want = int(num_rays * ((1 << 18) / float(n_total)))
+            want = min(want, num_rays * 2)  # damped growth (see train script)
             num_rays = max([b for b in buckets if b <= max(want, 1024)])
     jax.block_until_ready(auxs["loss"])
     print(json.dumps({

@@ -194,12 +194,14 @@ class NGPOccTrainer:
     dynamic_budget: bool = True
     budget_granularity: int = 32768
     budget_headroom: float = 1.15
-    # global gradient-norm clip (0 disables).  Hard-surface scenes and
-    # multiplicative grid encoders can blow up mid-training at the
-    # factorized-grid lr (measured: the opaque procedural scene NaNs and
-    # the K-Planes dynamic run collapses 30 -> 9 dB between 2.5k-5k
-    # steps); a generous clip bounds the runaway step without touching
-    # healthy training.
+    # global UPDATE-norm clip applied after Adam, before the lr (0
+    # disables).  Hard-surface scenes and multiplicative grid encoders can
+    # blow up mid-training (measured: the opaque procedural scene NaNs —
+    # fixed at the source by the trunc_exp forward cap — and the K-Planes
+    # dynamic run collapses 30 -> 9 dB between 2.5k-5k steps — fixed by
+    # its TV prior); this knob bounds any remaining runaway step.  NOTE:
+    # clipping RAW grads would be a no-op here — Adam's m/sqrt(v) update
+    # is invariant to gradient scale — so the clip sits after Adam.
     grad_clip: float = 0.0
 
     def __post_init__(self):
@@ -223,9 +225,9 @@ class NGPOccTrainer:
             else []
         )
         self.optimizer = optax.chain(
-            *clip,
             optax.add_decayed_weights(self.weight_decay),
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=self.adam_eps),
+            *clip,
             optax.scale_by_learning_rate(self.schedule),
         )
         self._train_step = jax.jit(

@@ -27,6 +27,19 @@ def test_trunc_exp_backward_clamped():
     )
 
 
+def test_trunc_exp_forward_capped():
+    """Forward exp is capped at exp(30): an uncapped f32 exp overflows to
+    inf past x ~ 88 and inf * 0 in the transmittance chain NaNs the whole
+    train state (measured on the hard-surface procedural scene)."""
+    out = trunc_exp(jnp.asarray([100.0, 1e9, 30.0, 1.0]))
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out[:3]), np.exp(30.0), rtol=1e-6)
+    # transmittance chain stays finite at extreme raw densities
+    sigma = trunc_exp(jnp.asarray([200.0, 200.0]))
+    T = jnp.exp(-jnp.cumsum(sigma * 1e-3))
+    assert np.isfinite(np.asarray(T * sigma)).all()
+
+
 def test_sh16_constant_and_norm():
     d = jnp.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
     sh = spherical_harmonics_16(d)

@@ -397,3 +397,32 @@ def test_pooled_eval_renderer_matches_alive_ray():
     )
     np.testing.assert_allclose(np.asarray(c_big), np.asarray(c_pool), atol=1e-4)
     np.testing.assert_allclose(np.asarray(op_big), np.asarray(op_pool), atol=1e-4)
+
+
+def test_grad_clip_knob():
+    """grad_clip > 0 clips the global UPDATE norm after Adam (clipping raw
+    grads would be a no-op — Adam is gradient-scale invariant): the step
+    stays finite and an aggressively small clip visibly shrinks the first
+    parameter update."""
+    import dataclasses as _dc
+
+    kw = dict(
+        field=_tiny_field(), aabb=AABB, grid_resolution=16,
+        render_step_size=0.05, sample_budget=2048, max_samples_per_ray=128,
+        warmup_steps=2, update_interval=2, max_steps=50, stratified=False,
+    )
+    batch = _tiny_batch(jax.random.PRNGKey(3))
+    t0 = NGPOccTrainer(**kw)
+    t1 = NGPOccTrainer(**kw, grad_clip=1e-4)  # aggressively small
+    s0, a0 = t0.train_step(t0.init_state(), batch)
+    s1, a1 = t1.train_step(t1.init_state(), batch)
+    assert np.isfinite(float(a1["loss"]))
+    d0 = np.abs(
+        np.asarray(s0.params["mlp_base"][0])
+        - np.asarray(t0.init_state().params["mlp_base"][0])
+    ).max()
+    d1 = np.abs(
+        np.asarray(s1.params["mlp_base"][0])
+        - np.asarray(t1.init_state().params["mlp_base"][0])
+    ).max()
+    assert d1 < d0, (d0, d1)

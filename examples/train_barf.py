@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--trans_std", type=float, default=0.05)
     parser.add_argument("--no_c2f", action="store_true",
                         help="disable the coarse-to-fine PE anneal (ablation)")
+    parser.add_argument("--pose_start", type=int, default=None,
+                        help="step at which pose updates unfreeze "
+                        "(default min(500, max_steps/4))")
     parser.add_argument("--pose_horizon", type=float, default=None,
                         help="pose-lr decay horizon as a fraction of "
                         "max_steps (default: the PE anneal end)")
@@ -103,7 +106,8 @@ def main():
         # joint optimization from a random field lets poses absorb early
         # photometric noise (measured: GT-init poses drift to 5 deg in 200
         # steps) — freeze them while the field fits coarse structure
-        pose_start_step=min(500, args.max_steps // 4),
+        pose_start_step=(args.pose_start if args.pose_start is not None
+                         else min(500, args.max_steps // 4)),
         pe_c2f=None if args.no_c2f else (0.1, 0.5),
         pose_lr_horizon_frac=args.pose_horizon,
         seed=args.seed,

@@ -53,6 +53,9 @@ def bench_occ():
     if fine_probes != "auto":
         fine_probes = int(fine_probes)
     encoder_remat = os.environ.get("BENCH_REMAT", "none")
+    #   BENCH_OCC_STRIPES: S>1 = rotating 1/S striped dense occupancy refresh
+    #   (see NGPOccTrainer.occ_refresh_stripes); 1 = full dense refresh.
+    occ_stripes = int(os.environ.get("BENCH_OCC_STRIPES", "1"))
 
     ds = ProceduralSceneLoader(
         split="train", num_rays=num_rays, width=256, height=256, n_train=6
@@ -65,6 +68,7 @@ def bench_occ():
         max_samples_per_ray=1024,
         render_step_size=5e-3,
         fine_probes=fine_probes,
+        occ_refresh_stripes=occ_stripes,
     )
     state = trainer.init_state()
 
@@ -123,7 +127,7 @@ def bench_occ():
     occ_cells = trainer.grid_resolution**3 * trainer.grid_nlvl
     occ_flops = (
         n_steps
-        * (occ_cells // trainer.update_interval)
+        * (occ_cells // trainer.update_interval // occ_stripes)
         * F.cp_density_query_flops_per_sample(field)
     )
     achieved = (train_flops + occ_flops) / elapsed

@@ -89,6 +89,10 @@ def main():
     parser.add_argument("--plane_res", type=int, nargs="*", default=[])
     parser.add_argument("--plane_rank", type=int, nargs="*", default=[])
     parser.add_argument("--field_reg_weight", type=float, default=0.0)
+    parser.add_argument("--occ_stripes", type=int, default=1,
+                        help="striped partial dense occupancy refresh: S>1 "
+                             "refreshes one rotating 1/S stripe per update "
+                             "after warmup (NGPOccTrainer.occ_refresh_stripes)")
     parser.add_argument("--sampled_occ_update", action="store_true",
                         help="reference-style sampled occupancy update "
                         "instead of the dense all-cell refresh")
@@ -222,6 +226,7 @@ def main():
         window_budget=args.window_budget,
         fine_probes=args.fine_probes,
         dense_occ_update=not args.sampled_occ_update,
+        occ_refresh_stripes=args.occ_stripes,
         **trainer_kwargs,
     )
     state = trainer.init_state()

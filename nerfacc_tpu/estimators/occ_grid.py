@@ -181,6 +181,8 @@ def update_occ_grid(
     warmup_steps: int = 256,
     dense: bool = False,
     eval_chunk: int = 2**21,
+    dense_stripes: int = 1,
+    update_interval: int = 16,
 ) -> OccGridState:
     """One EMA occupancy update — pure, jittable (reference: occ_grid.py:366-404).
 
@@ -200,6 +202,15 @@ def update_occ_grid(
     sequential chunk — fields with layout-padded intermediates (the hash
     encoder's (n, L, 8) tensors tile-pad 16x on TPU) OOM at the default
     whole-grid chunk and advertise a smaller ``max_eval_chunk``.
+
+    ``dense_stripes`` (dense mode only): once past ``warmup_steps``, each
+    update refreshes ONE rotating contiguous 1/S stripe of every level's
+    cells instead of the whole grid — still scatter-free (the EMA lands via
+    ``dynamic_update_slice``), at 1/S the field evaluations.  Every cell is
+    revisited every ``S * update_interval`` steps (update_interval is only
+    used to derive the stripe cursor from ``step``); during warmup the full
+    grid refreshes every update as before.  S=1 (default) is the full dense
+    refresh.
     """
     levels = state.levels
     cells = state.cells_per_lvl
@@ -267,8 +278,33 @@ def update_occ_grid(
         )
         return dataclasses.replace(state, occs=occs)
 
+    def striped_update(state: OccGridState) -> OccGridState:
+        # rotating contiguous stripe: cells [start, start+n) of every level
+        n = cells // dense_stripes
+        start = (
+            (step // update_interval) % dense_stripes
+        ).astype(jnp.int32) * n
+        ids = jnp.broadcast_to(
+            (start + jnp.arange(n, dtype=jnp.int32))[None, :], (levels, n)
+        )
+        occ = _eval_cells(state, ids, k_eval, occ_eval_fn, eval_chunk)
+        occs2d = state.occs.reshape(levels, cells)
+        cur = jax.lax.dynamic_slice(occs2d, (0, start), (levels, n))
+        visible = cur >= 0.0
+        new = jnp.where(visible, jnp.maximum(cur * ema_decay, occ), cur)
+        occs2d = jax.lax.dynamic_update_slice(occs2d, new, (0, start))
+        return dataclasses.replace(state, occs=occs2d.reshape(-1))
+
     if dense:
-        state = warmup_update(state)
+        if dense_stripes > 1:
+            assert cells % dense_stripes == 0, (
+                f"dense_stripes={dense_stripes} must divide cells={cells}"
+            )
+            state = jax.lax.cond(
+                step < warmup_steps, warmup_update, striped_update, state
+            )
+        else:
+            state = warmup_update(state)
     else:
         state = jax.lax.cond(
             step < warmup_steps, warmup_update, sampled_update, state

@@ -144,6 +144,12 @@ class NGPOccTrainer:
     # (scatter/sort-free — see update_occ_grid docstring) instead of the
     # reference's 1/4-uniform + 1/4-occupied sampled update
     dense_occ_update: bool = True
+    # striped partial refresh for dense occupancy updates: after warmup,
+    # each update refreshes one rotating 1/S contiguous stripe of the grid
+    # (scatter-free dynamic_update_slice) so every cell revisits every
+    # S * update_interval steps at 1/S the field evals per update.  S=1 is
+    # the full dense refresh (see update_occ_grid).
+    occ_refresh_stripes: int = 1
     # dynamic scenes (T-NeRF): condition the field on per-ray timestamps
     # (batches must carry a "timestamps" (n_rays, 1) entry) and feed random
     # frame times into occupancy updates (reference: train_mlp_tnerf.py:128-135)
@@ -203,6 +209,12 @@ class NGPOccTrainer:
     # clipping RAW grads would be a no-op here — Adam's m/sqrt(v) update
     # is invariant to gradient scale — so the clip sits after Adam.
     grad_clip: float = 0.0
+    # learning-rate multiplier for the field's grid-table params (the
+    # top-level "encoder" subtree): the hash field's per-step quality edge
+    # is its directly-indexed tables memorizing in hundreds of steps
+    # (PERF.md head-to-head) — letting the factorized tables train faster
+    # than the MLP probes the same optimization-dynamics axis.  1.0 = off.
+    table_lr_mult: float = 1.0
 
     def __post_init__(self):
         if self.fine_probes == "auto":
@@ -224,10 +236,22 @@ class NGPOccTrainer:
             if self.grad_clip > 0
             else []
         )
+        def _encoder_mask(params):
+            return {
+                k: jax.tree.map(lambda _: k == "encoder", v)
+                for k, v in params.items()
+            }
+
+        table_boost = (
+            [optax.masked(optax.scale(self.table_lr_mult), _encoder_mask)]
+            if self.table_lr_mult != 1.0
+            else []
+        )
         self.optimizer = optax.chain(
             optax.add_decayed_weights(self.weight_decay),
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=self.adam_eps),
             *clip,
+            *table_boost,
             optax.scale_by_learning_rate(self.schedule),
         )
         self._train_step = jax.jit(
@@ -354,6 +378,8 @@ class NGPOccTrainer:
                 eval_chunk=min(
                     2**21, getattr(self.field, "max_eval_chunk", 2**21)
                 ),
+                dense_stripes=self.occ_refresh_stripes,
+                update_interval=self.update_interval,
             ),
             lambda s: s,
             state.occ_state,

@@ -37,6 +37,7 @@ def main():
                    choices=["product", "vm"])
     p.add_argument("--hidden_dim", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--table_lr_mult", type=float, default=1.0)
     p.add_argument("--encoder_remat", type=str, default="none",
                    choices=["none", "dots", "full"])
     p.add_argument("--field_reg_weight", type=float, default=0.0)
@@ -114,6 +115,7 @@ def main():
         fine_probes=args.fine_probes,
         field_reg_weight=args.field_reg_weight,
         lr=args.lr,
+        table_lr_mult=args.table_lr_mult,
         seed=args.seed,
     )
     state = trainer.init_state()

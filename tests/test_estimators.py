@@ -69,6 +69,55 @@ def test_occ_grid_sampled_update_decays_stale_cells():
     assert np.asarray(state.binaries).mean() < 0.5
 
 
+def test_occ_grid_striped_dense_update_covers_all_cells():
+    """dense_stripes=S: each post-warmup update refreshes one rotating 1/S
+    stripe; after S updates every cell has been refreshed, and the result
+    matches a full dense refresh bit-for-bit for a deterministic field."""
+    key = jax.random.PRNGKey(0)
+    S, interval = 4, 16
+
+    # piecewise-constant on voxels (boundaries at 0 align with voxel edges
+    # at every level), so the in-voxel query jitter cannot change the value
+    # between the two paths' different RNG draws
+    def octant_occ_fn(x):
+        return jnp.all(x > 0.0, axis=-1).astype(jnp.float32)
+
+    # full dense refresh at a post-warmup step
+    ref = init_occ_grid(AABB, resolution=16, levels=2)
+    ref = update_occ_grid(
+        ref, key, jnp.asarray(1000), octant_occ_fn, warmup_steps=10, dense=True
+    )
+
+    # striped: S consecutive update steps cycle through all stripes.
+    st = init_occ_grid(AABB, resolution=16, levels=2)
+    upd = jax.jit(
+        lambda s, k, step: update_occ_grid(
+            s, k, step, octant_occ_fn, warmup_steps=10, dense=True,
+            dense_stripes=S, update_interval=interval,
+        )
+    )
+    for i in range(S):
+        key, sub = jax.random.split(key)
+        st = upd(st, sub, jnp.asarray(1000 + i * interval))
+    np.testing.assert_array_equal(
+        np.asarray(st.binaries), np.asarray(ref.binaries)
+    )
+    # occs agree too: one EMA-max touch per cell from zero in both paths
+    np.testing.assert_allclose(
+        np.asarray(st.occs), np.asarray(ref.occs), atol=1e-7
+    )
+
+    # during warmup the striped config still refreshes the FULL grid
+    w = init_occ_grid(AABB, resolution=16, levels=2)
+    w = update_occ_grid(
+        w, key, jnp.asarray(0), octant_occ_fn, warmup_steps=10, dense=True,
+        dense_stripes=S, update_interval=interval,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(w.binaries), np.asarray(ref.binaries)
+    )
+
+
 def test_sampling_padded_visibility_filter():
     state = init_occ_grid(AABB, resolution=16, levels=1)
     state = dataclasses.replace(

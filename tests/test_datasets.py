@@ -252,9 +252,9 @@ def test_procedural_dynamic_scene():
     )
     d0 = ds[0]
     assert d0["timestamps"].shape == (32 * 32, 1)
-    assert float(d0["timestamps"][0]) == 0.0
+    assert float(d0["timestamps"][0, 0]) == 0.0
     d2 = ds[2]
-    assert float(d2["timestamps"][0]) == 1.0
+    assert float(d2["timestamps"][0, 0]) == 1.0
 
     tr = ProceduralDynamicSceneLoader(
         split="train", n_train=4, width=32, height=32, gt_samples=64,

@@ -200,25 +200,41 @@ def test_prop_render_image_scan_matches_chunks():
     np.testing.assert_allclose(img[:32], np.asarray(ref), atol=1e-6)
 
 
+_BASELINE = {}
+
+
+def _baseline_step():
+    """Shared deterministic baseline trainer + one stepped result for the
+    knob-comparison tests below (field_reg, grad_clip) — each used to
+    compile its own identical baseline program (~8 s apiece on the CI
+    host); memoizing it halves those tests' wall time."""
+    if not _BASELINE:
+        field = _tiny_field()
+        kw = dict(
+            field=field, aabb=AABB, grid_resolution=16,
+            render_step_size=0.05, sample_budget=2048,
+            max_samples_per_ray=128, warmup_steps=2, update_interval=2,
+            max_steps=50, stratified=False,
+        )
+        t0 = NGPOccTrainer(**kw)
+        batch = _tiny_batch(jax.random.PRNGKey(3))
+        s0, a0 = t0.train_step(t0.init_state(), batch)
+        _BASELINE.update(
+            kw=kw, field=field, t0=t0, batch=batch, s0=s0, a0=a0
+        )
+    return _BASELINE
+
+
 def test_occ_trainer_field_reg():
     """field_reg_weight adds the TV prior to the fused step: the loss gains
     the reg term and the step stays finite (smoothing grads reach the
     tables even where no samples land)."""
-    field = _tiny_field()
-    kw = dict(
-        field=field, aabb=AABB, grid_resolution=16,
-        render_step_size=0.05, sample_budget=2048,
-        max_samples_per_ray=128, warmup_steps=2, update_interval=2,
-        max_steps=50, stratified=False,
-    )
-    t0 = NGPOccTrainer(**kw)
-    t1 = NGPOccTrainer(**kw, field_reg_weight=10.0)
-    batch = _tiny_batch(jax.random.PRNGKey(5))
-    s0, a0 = t0.train_step(t0.init_state(), batch)
-    s1, a1 = t1.train_step(t1.init_state(), batch)
-    l0, l1 = float(a0["loss"]), float(a1["loss"])
+    b = _baseline_step()
+    t1 = NGPOccTrainer(**b["kw"], field_reg_weight=10.0)
+    s1, a1 = t1.train_step(t1.init_state(), b["batch"])
+    l0, l1 = float(b["a0"]["loss"]), float(a1["loss"])
     assert np.isfinite(l1)
-    reg = float(field.param_regularizer(t1.init_state().params))
+    reg = float(b["field"].param_regularizer(t1.init_state().params))
     np.testing.assert_allclose(l1 - l0, 10.0 * reg, rtol=1e-3)
 
 
@@ -404,18 +420,10 @@ def test_grad_clip_knob():
     grads would be a no-op — Adam is gradient-scale invariant): the step
     stays finite and an aggressively small clip visibly shrinks the first
     parameter update."""
-    import dataclasses as _dc
-
-    kw = dict(
-        field=_tiny_field(), aabb=AABB, grid_resolution=16,
-        render_step_size=0.05, sample_budget=2048, max_samples_per_ray=128,
-        warmup_steps=2, update_interval=2, max_steps=50, stratified=False,
-    )
-    batch = _tiny_batch(jax.random.PRNGKey(3))
-    t0 = NGPOccTrainer(**kw)
-    t1 = NGPOccTrainer(**kw, grad_clip=1e-4)  # aggressively small
-    s0, a0 = t0.train_step(t0.init_state(), batch)
-    s1, a1 = t1.train_step(t1.init_state(), batch)
+    b = _baseline_step()
+    t0, s0 = b["t0"], b["s0"]
+    t1 = NGPOccTrainer(**b["kw"], grad_clip=1e-4)  # aggressively small
+    s1, a1 = t1.train_step(t1.init_state(), b["batch"])
     assert np.isfinite(float(a1["loss"]))
     d0 = np.abs(
         np.asarray(s0.params["mlp_base"][0])

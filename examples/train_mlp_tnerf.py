@@ -36,7 +36,12 @@ def main():
         "neural voxels + tiny deformation MLP (the reference's TiNeuVox "
         "benchmark family)",
     )
-    parser.add_argument("--field_reg_weight", type=float, default=0.0)
+    parser.add_argument("--field_reg_weight", type=float, default=None,
+                        help="TV/smoothness prior weight; None = per-field "
+                             "default (kplanes 1e-3 — REQUIRED for "
+                             "stability, the 6-plane Hadamard product "
+                             "collapses without it; tineuvox 1e-4; "
+                             "tnerf 0)")
     parser.add_argument("--lr", type=float, default=None,
                         help="override the per-field default learning rate")
     args = parser.parse_args()
@@ -77,15 +82,15 @@ def main():
         from nerfacc_tpu.models import KPlanesRadianceField
 
         field = KPlanesRadianceField(aabb=tuple(aabb))
-        lr, adam_eps, warmup = 1e-2, 1e-15, 100
+        lr, adam_eps, warmup, reg_default = 1e-2, 1e-15, 100, 1e-3
     elif args.field == "tineuvox":
         from nerfacc_tpu.models import TiNeuVoxRadianceField
 
         field = TiNeuVoxRadianceField(aabb=tuple(aabb))
-        lr, adam_eps, warmup = 1e-2, 1e-15, 100
+        lr, adam_eps, warmup, reg_default = 1e-2, 1e-15, 100, 1e-4
     else:
         field = TNeRFRadianceField()
-        lr, adam_eps, warmup = 5e-4, 1e-8, 0
+        lr, adam_eps, warmup, reg_default = 5e-4, 1e-8, 0, 0.0
     if args.lr is not None:
         lr = args.lr
     trainer = NGPOccTrainer(
@@ -101,7 +106,11 @@ def main():
         max_samples_per_ray=1024,
         time_dependent=True,
         timestamps=train_dataset.timestamps,
-        field_reg_weight=args.field_reg_weight,
+        field_reg_weight=(
+            reg_default
+            if args.field_reg_weight is None
+            else args.field_reg_weight
+        ),
         seed=args.seed,
     )
     state = trainer.init_state()

@@ -434,3 +434,28 @@ def test_grad_clip_knob():
         - np.asarray(t1.init_state().params["mlp_base"][0])
     ).max()
     assert d1 < d0, (d0, d1)
+
+
+def test_table_lr_mult_scales_encoder_updates_only():
+    """table_lr_mult sits after Adam in the chain: the first step's encoder
+    (table) update is scaled by exactly the multiplier while the MLP update
+    is bit-identical to the baseline."""
+    b = _baseline_step()
+    init = b["t0"].init_state().params
+    t1 = NGPOccTrainer(**b["kw"], table_lr_mult=4.0)
+    s1, _ = t1.train_step(t1.init_state(), b["batch"])
+
+    def delta(params):
+        return jax.tree.map(lambda a, c: np.asarray(a) - np.asarray(c),
+                            params, init)
+
+    d0, d1 = delta(b["s0"].params), delta(s1.params)
+    # MLP subtrees untouched by the mask
+    for sub in ("mlp_base", "mlp_head"):
+        for a, c in zip(jax.tree.leaves(d0[sub]), jax.tree.leaves(d1[sub])):
+            np.testing.assert_allclose(a, c, atol=1e-7)
+    # encoder tables: exactly 4x the baseline update
+    for a, c in zip(
+        jax.tree.leaves(d0["encoder"]), jax.tree.leaves(d1["encoder"])
+    ):
+        np.testing.assert_allclose(4.0 * a, c, rtol=5e-4, atol=3e-7)

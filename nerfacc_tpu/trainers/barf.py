@@ -88,10 +88,12 @@ class BARFTrainer:
     # home.  BARF gets the same effect from its very long schedules.
     pose_start_step: int = 200
     # Fraction of max_steps over which the pose lr decays to lr_pose_end;
-    # None = the coarse-to-fine anneal end (pe_c2f[1]).  The 10k-step
-    # measurement: error bottoms mid-anneal (0.74 deg @3-4k) and drifts
+    # None = 0.6x the coarse-to-fine anneal end (pe_c2f[1]).  The 10k-step
+    # measurements: error bottoms mid-anneal (0.74 deg @3-4k) and drifts
     # ~0.2 deg while the lr tail rides out — a shorter horizon locks the
-    # trough in.
+    # trough in, and handing the post-registration schedule to the field
+    # is worth +2.9 dB eval PSNR at half the translation error (horizon
+    # 0.3 vs 0.5 at pe_c2f end 0.5; docs/benchmarks.md BARF table).
     pose_lr_horizon_frac: Optional[float] = None
     occ_thre: float = 1e-2
     ema_decay: float = 0.95
@@ -126,7 +128,7 @@ class BARFTrainer:
         horizon_frac = (
             self.pose_lr_horizon_frac
             if self.pose_lr_horizon_frac is not None
-            else (self.pe_c2f[1] if self.pe_c2f else 1.0)
+            else (0.6 * self.pe_c2f[1] if self.pe_c2f else 1.0)
         )
         pose_horizon = int(self.max_steps * horizon_frac)
         pose_sched = optax.exponential_decay(

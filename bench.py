@@ -125,6 +125,10 @@ def bench_occ():
     # the dense occupancy refresh (all cells / update_interval, fwd only)
     train_flops = total_samples * F.cp_field_flops_per_sample(field)
     occ_cells = trainer.grid_resolution**3 * trainer.grid_nlvl
+    # the 1/occ_stripes factor is exact for the measured window: every
+    # measured step runs at step >= 2048, past the occupancy warmup (256),
+    # so with stripes enabled every measured update is a striped one (the
+    # full-grid warmup refreshes happen only before the clock starts)
     occ_flops = (
         n_steps
         * (occ_cells // trainer.update_interval // occ_stripes)

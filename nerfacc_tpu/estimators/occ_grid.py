@@ -210,7 +210,12 @@ def update_occ_grid(
     revisited every ``S * update_interval`` steps (update_interval is only
     used to derive the stripe cursor from ``step``); during warmup the full
     grid refreshes every update as before.  S=1 (default) is the full dense
-    refresh.
+    refresh.  On revisit the EMA applies ``ema_decay ** S`` so a cell's
+    occupancy decays at the same per-step rate as under the dense path
+    (per-update decay alone would let stale occupied cells persist ~S x
+    longer); between revisits a cell's value — and the binarization built
+    from it — is simply S-updates stale, which is the scheme's one real
+    divergence from dense refresh.
     """
     levels = state.levels
     cells = state.cells_per_lvl
@@ -291,7 +296,12 @@ def update_occ_grid(
         occs2d = state.occs.reshape(levels, cells)
         cur = jax.lax.dynamic_slice(occs2d, (0, start), (levels, n))
         visible = cur >= 0.0
-        new = jnp.where(visible, jnp.maximum(cur * ema_decay, occ), cur)
+        # decay^S on revisit: each cell is touched once per S updates, so
+        # compounding the per-update decay keeps the EMA timescale equal to
+        # the dense path's (without this, stale occupied cells would persist
+        # ~S x longer under striping).
+        stripe_decay = ema_decay**dense_stripes
+        new = jnp.where(visible, jnp.maximum(cur * stripe_decay, occ), cur)
         occs2d = jax.lax.dynamic_update_slice(occs2d, new, (0, start))
         return dataclasses.replace(state, occs=occs2d.reshape(-1))
 

@@ -286,6 +286,15 @@ class NGPOccTrainer:
         key = jax.random.PRNGKey(self.seed)
         key, sub = jax.random.split(key)
         params = self.field.init(sub)
+        if self.table_lr_mult != 1.0 and "encoder" not in params:
+            import warnings
+
+            warnings.warn(
+                f"table_lr_mult={self.table_lr_mult} has no effect: the "
+                f"field's params have no top-level 'encoder' subtree "
+                f"(keys: {sorted(params)}); the masked lr scale is a no-op",
+                stacklevel=2,
+            )
         opt_state = self.optimizer.init(params)
         occ_state = init_occ_grid(
             jnp.asarray(self.aabb, jnp.float32),

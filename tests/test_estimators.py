@@ -118,6 +118,45 @@ def test_occ_grid_striped_dense_update_covers_all_cells():
     )
 
 
+def test_occ_grid_striped_decay_matches_dense_timescale():
+    """Multi-round striped refresh: a cell is revisited once per S updates
+    with decay^S applied, so after S updates of an empty field the EMA
+    matches S dense updates (decay^S per cell) — stale cells die at the
+    same per-step rate under both paths."""
+    key = jax.random.PRNGKey(3)
+    S, interval, decay = 4, 16, 0.5
+
+    def ones(x):
+        return jnp.ones(x.shape[0])
+
+    def zeros(x):
+        return jnp.zeros(x.shape[0])
+
+    def run(stripes):
+        st = init_occ_grid(AABB, resolution=16, levels=1)
+        # bootstrap: one full refresh with an all-occupied field -> occs=1
+        st = update_occ_grid(
+            st, key, jnp.asarray(0), ones, warmup_steps=10, dense=True
+        )
+        upd = jax.jit(
+            lambda s, k, step: update_occ_grid(
+                s, k, step, zeros, warmup_steps=10, dense=True,
+                dense_stripes=stripes, update_interval=interval,
+                ema_decay=decay,
+            )
+        )
+        k2 = key
+        for i in range(S):
+            k2, sub = jax.random.split(k2)
+            st = upd(st, sub, jnp.asarray(1000 + i * interval))
+        return np.asarray(st.occs)
+
+    dense_occs = run(stripes=1)
+    striped_occs = run(stripes=S)
+    np.testing.assert_allclose(dense_occs, decay**S, atol=1e-7)
+    np.testing.assert_allclose(striped_occs, dense_occs, atol=1e-7)
+
+
 def test_sampling_padded_visibility_filter():
     state = init_occ_grid(AABB, resolution=16, levels=1)
     state = dataclasses.replace(

@@ -128,11 +128,11 @@ def test_importance_sampling_varying_counts():
     assert np.asarray(s_v.is_valid).all()
 
     # unequal counts: per-ray prefix must match a per-ray batched run
-    # counts drawn from {8, 4} so the per-ray reference runs compile only
-    # two 1-row programs instead of four (same mask/edge assertions)
-    n = jnp.array([8, 4, 4, 8], jnp.int32)
+    # counts drawn from {8, 4, 6} — small set keeps the per-ray reference
+    # runs to three 1-row compiles while retaining a non-power-of-two count
+    n = jnp.array([8, 4, 4, 6], jnp.int32)
     iv_v, s_v = importance_sampling(intervals, cdfs, n, max_intervals_per_ray=8)
-    for r, nr in enumerate([8, 4, 4, 8]):
+    for r, nr in enumerate([8, 4, 4, 6]):
         iv_r, s_r = importance_sampling(
             RayIntervals(vals=intervals.vals[r : r + 1]),
             cdfs[r : r + 1],

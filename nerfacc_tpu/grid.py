@@ -663,6 +663,12 @@ class WindowSamples(NamedTuple):
             per-sample ray lookup (a random gather costs ~2 ms at 2^18
             samples; a one-hot MXU spread rounds to bf16 at default
             precision — both measured worse than just widening this gather).
+        near / wk: (window_budget,) the window's ray near plane and first
+            orbit index — lets ``compact_samples_from_windows`` recompute
+            every kept sample's (t_start, t_end) analytically from ONE
+            per-window row gather instead of gathering a per-sample payload
+            table (which cost a (Wb*f, 6) broadcast materialization +
+            reshape on top of the gather — ~0.6 ms/step at bench shapes).
     """
 
     t_starts: jnp.ndarray
@@ -675,6 +681,8 @@ class WindowSamples(NamedTuple):
     window_overflow: jnp.ndarray
     rays_o: jnp.ndarray
     rays_d: jnp.ndarray
+    near: Optional[jnp.ndarray] = None
+    wk: Optional[jnp.ndarray] = None
 
 
 def _pool_payload(
@@ -706,11 +714,12 @@ def _fine_phase_from_payload(
 ):
     """Exact fine-lattice test for a pool of windows, given their gathered
     payload rows (layout of :func:`_pool_payload`) and coarse slot indices
-    ``wj`` (pool,).  Returns ``(t0, t1, valid, o_w, d_w)`` with shapes
-    ``(pool, f)`` / ``(pool, 3)``; ``valid`` combines the geometric
-    segment test with the occupancy lookup (one 27-word box row gather per
-    window when ``fine_probes == -1``, run-start word probes when
-    ``fine_probes > 0``, per-candidate gather otherwise)."""
+    ``wj`` (pool,).  Returns ``(t0, t1, valid, o_w, d_w, near_w, wk)``
+    with shapes ``(pool, f)`` / ``(pool, 3)`` / ``(pool,)``; ``valid``
+    combines the geometric segment test with the occupancy lookup (one
+    27-word box row gather per window when ``fine_probes == -1``, run-start
+    word probes when ``fine_probes > 0``, per-candidate gather
+    otherwise)."""
     j0_w = prow[:, 0].astype(jnp.int32)
     near_w = prow[:, 1]
     o_w = prow[:, 2:5]
@@ -746,7 +755,7 @@ def _fine_phase_from_payload(
         )
     else:
         occupied = _occupancy_lookup(pos, level, binaries, aabbs)
-    return t0, t1, inside_any & occupied, o_w, d_w
+    return t0, t1, inside_any & occupied, o_w, d_w, near_w, wk
 
 
 @functools.partial(
@@ -855,7 +864,7 @@ def traverse_grids_pooled(
     # t values), and inf segment bounds of grid-missing rays poison a
     # matmul spread with 0*inf NaNs — sanitizing + 6-pass precision ate the
     # win over this plain row gather.
-    t0, t1, fine_valid, o_w, d_w = _fine_phase_from_payload(
+    t0, t1, fine_valid, o_w, d_w, near_w, wk_w = _fine_phase_from_payload(
         prow, wj, n_segments, f, step_size, cone_angle, binaries, aabbs,
         fine_probes,
     )
@@ -903,7 +912,7 @@ def traverse_grids_pooled(
 
     return WindowSamples(
         t0, t1, valid, wray, counts, termination_planes, terminated,
-        total_w - jnp.minimum(total_w, Wb), o_w, d_w,
+        total_w - jnp.minimum(total_w, Wb), o_w, d_w, near_w, wk_w,
     )
 
 
@@ -1100,7 +1109,7 @@ def pooled_round_from_coarse(
 
     prow = jnp.take(cpool.pay, wray_c, axis=0)
     n_segments = (cpool.pay.shape[1] - 8) // 4
-    t0, t1, fine_valid, o_w, d_w = _fine_phase_from_payload(
+    t0, t1, fine_valid, o_w, d_w, near_w, wk_w = _fine_phase_from_payload(
         prow, wj, n_segments, f, step_size, cone_angle, binaries, aabbs,
         fine_probes,
     )
@@ -1125,7 +1134,7 @@ def pooled_round_from_coarse(
     ws = WindowSamples(
         t0, t1, valid, wray, counts,
         cpool.resume_planes, terminated,
-        total_rem - jnp.minimum(total_rem, Wb), o_w, d_w,
+        total_rem - jnp.minimum(total_rem, Wb), o_w, d_w, near_w, wk_w,
     )
     return ws, advance
 

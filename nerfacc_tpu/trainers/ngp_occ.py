@@ -427,7 +427,11 @@ class NGPOccTrainer:
                 fine_probes=self.fine_probes,
             )
             samples = compact_samples_from_windows(
-                ws, budget or self.sample_budget, rays_o.shape[0]
+                ws,
+                budget or self.sample_budget,
+                rays_o.shape[0],
+                step_size=self.render_step_size,
+                cone_angle=self.cone_angle,
             )
             terminated = ws.terminated
             # demand estimate for the batch-size controller: dropped windows

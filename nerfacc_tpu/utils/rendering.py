@@ -123,9 +123,16 @@ def compact_samples(res: TraversalResult, budget: int) -> CompactSamples:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("budget", "n_rays"))
+@functools.partial(
+    jax.jit, static_argnames=("budget", "n_rays", "step_size", "cone_angle")
+)
 def compact_samples_from_windows(
-    ws, budget: int, n_rays: int, extras: Optional[jnp.ndarray] = None
+    ws,
+    budget: int,
+    n_rays: int,
+    extras: Optional[jnp.ndarray] = None,
+    step_size: Optional[float] = None,
+    cone_angle: float = 0.0,
 ) -> CompactSamples:
     """Compact a :class:`~nerfacc_tpu.grid.WindowSamples` pool into the flat
     fixed-budget sample buffer (same contract as :func:`compact_samples`).
@@ -133,11 +140,19 @@ def compact_samples_from_windows(
     The pool is already (ray, window)-ordered, so one order-preserving key
     sort of ``window_budget * window_size`` candidates suffices — this is
     2-3x smaller than compacting the padded ``(n_rays, max_samples)`` layout.
-    Ray ids — and the per-window ray origin/direction, plus optional
-    ``extras`` (window_budget, C) channels — ride the payload gather as f32
-    lanes (a gather's cost is per index, so widening it is nearly free, and
-    unlike a one-hot MXU spread it does not round to bf16).
+
+    With ``step_size`` given (and the pool carrying ``near``/``wk``), the
+    payload is WINDOW-granular: one ``(budget,)`` row gather of the
+    per-window table [ray, near, wk, o, d, extras...] at ``sel // f``, and
+    each sample's (t_start, t_end) is recomputed from the closed-form
+    marching orbit — the same expression the fine phase evaluated, so the
+    values are bit-identical.  This replaces the per-sample payload table
+    (whose (Wb*f, 6) broadcast + reshape materialization cost ~0.6 ms/step
+    at bench shapes) with pure per-sample arithmetic.  Without
+    ``step_size`` the legacy per-sample-table gather runs.
     """
+    from ..grid import _orbit_t
+
     Wb, f = ws.valid.shape
     n = Wb * f
     flat_valid = ws.valid.reshape(-1)
@@ -148,40 +163,75 @@ def compact_samples_from_windows(
     if budget > n:
         sel = jnp.concatenate([sel, jnp.zeros((budget - n,), jnp.int32)])
 
-    ray_f = jnp.broadcast_to(
-        ws.ray_ids[:, None].astype(jnp.float32), (Wb, f)
-    ).reshape(-1)
-    per_window = [ws.rays_o, ws.rays_d]
-    if extras is not None:
-        per_window.append(
-            extras[:, None] if extras.ndim == 1 else extras
-        )
-    pw = jnp.concatenate(per_window, axis=-1)  # (Wb, 6 + C)
-    n_pw = pw.shape[-1]
-    payload = jnp.concatenate(
-        [
-            jnp.stack(
-                [ws.t_starts.reshape(-1), ws.t_ends.reshape(-1), ray_f],
-                axis=-1,
-            ),
-            jnp.broadcast_to(pw[:, None, :], (Wb, f, n_pw)).reshape(n, n_pw),
-        ],
-        axis=-1,
-    )
-    rows = jnp.take(payload, sel, axis=0)  # (budget, 3 + 6 + C)
     total = jnp.sum(ws.counts)
     num_valid = jnp.minimum(total, budget)
     valid = jnp.arange(budget, dtype=jnp.int32) < num_valid
-    out_ray = jnp.where(valid, rows[:, 2].astype(jnp.int32), n_rays)
-    out_t0 = jnp.where(valid, rows[:, 0], 0.0)
-    out_t1 = jnp.where(valid, rows[:, 1], 0.0)
-    out_o = jnp.where(valid[:, None], rows[:, 3:6], 0.0)
-    out_d = jnp.where(valid[:, None], rows[:, 6:9], 0.0)
-    out_extras = (
-        jnp.where(valid[:, None], rows[:, 9:], 0.0)
-        if extras is not None
-        else None
-    )
+
+    analytic = step_size is not None and ws.near is not None
+    if analytic:
+        per_window = [
+            ws.ray_ids.astype(jnp.float32)[:, None],
+            ws.near[:, None],
+            ws.wk.astype(jnp.float32)[:, None],
+            ws.rays_o,
+            ws.rays_d,
+        ]
+        if extras is not None:
+            per_window.append(
+                extras[:, None] if extras.ndim == 1 else extras
+            )
+        pw = jnp.concatenate(per_window, axis=-1)  # (Wb, 9 + C)
+        rows = jnp.take(pw, sel // f, axis=0)  # (budget, 9 + C)
+        lane = (sel % f).astype(jnp.float32)
+        k = rows[:, 2] + lane  # orbit index of the sample
+        t0 = _orbit_t(rows[:, 1:2], k[:, None], step_size, cone_angle)[:, 0]
+        t1 = _orbit_t(
+            rows[:, 1:2], k[:, None] + 1.0, step_size, cone_angle
+        )[:, 0]
+        out_ray = jnp.where(valid, rows[:, 0].astype(jnp.int32), n_rays)
+        out_t0 = jnp.where(valid, t0, 0.0)
+        out_t1 = jnp.where(valid, t1, 0.0)
+        out_o = jnp.where(valid[:, None], rows[:, 3:6], 0.0)
+        out_d = jnp.where(valid[:, None], rows[:, 6:9], 0.0)
+        out_extras = (
+            jnp.where(valid[:, None], rows[:, 9:], 0.0)
+            if extras is not None
+            else None
+        )
+    else:
+        ray_f = jnp.broadcast_to(
+            ws.ray_ids[:, None].astype(jnp.float32), (Wb, f)
+        ).reshape(-1)
+        per_window = [ws.rays_o, ws.rays_d]
+        if extras is not None:
+            per_window.append(
+                extras[:, None] if extras.ndim == 1 else extras
+            )
+        pw = jnp.concatenate(per_window, axis=-1)  # (Wb, 6 + C)
+        n_pw = pw.shape[-1]
+        payload = jnp.concatenate(
+            [
+                jnp.stack(
+                    [ws.t_starts.reshape(-1), ws.t_ends.reshape(-1), ray_f],
+                    axis=-1,
+                ),
+                jnp.broadcast_to(
+                    pw[:, None, :], (Wb, f, n_pw)
+                ).reshape(n, n_pw),
+            ],
+            axis=-1,
+        )
+        rows = jnp.take(payload, sel, axis=0)  # (budget, 3 + 6 + C)
+        out_ray = jnp.where(valid, rows[:, 2].astype(jnp.int32), n_rays)
+        out_t0 = jnp.where(valid, rows[:, 0], 0.0)
+        out_t1 = jnp.where(valid, rows[:, 1], 0.0)
+        out_o = jnp.where(valid[:, None], rows[:, 3:6], 0.0)
+        out_d = jnp.where(valid[:, None], rows[:, 6:9], 0.0)
+        out_extras = (
+            jnp.where(valid[:, None], rows[:, 9:], 0.0)
+            if extras is not None
+            else None
+        )
     overflow = total - num_valid
     ends_excl = jnp.cumsum(ws.counts)
     seg_starts = jnp.minimum(ends_excl - ws.counts, budget).astype(jnp.int32)
@@ -533,7 +583,8 @@ def make_pooled_eval_round(
             1.0 - opacity[:, 0], jnp.minimum(ws.ray_ids, n_rays - 1)
         )
         samples = compact_samples_from_windows(
-            ws, budget, n_rays, extras=prefix_w
+            ws, budget, n_rays, extras=prefix_w,
+            step_size=render_step_size, cone_angle=cone_angle,
         )
 
         def rgb_sigma_fn(positions, dirs, ray_indices):
@@ -640,7 +691,8 @@ def make_cursor_eval_chunk(
                 1.0 - opacity[:, 0], jnp.minimum(ws.ray_ids, n_rays - 1)
             )
             samples = compact_samples_from_windows(
-                ws, sample_budget, n_rays, extras=prefix_w
+                ws, sample_budget, n_rays, extras=prefix_w,
+                step_size=render_step_size, cone_angle=cone_angle,
             )
             c, o_add, d_add, _ = render_rays_with_occgrid(
                 lambda p, dd, rid: field_fn(p, dd),

@@ -37,7 +37,7 @@ def summarize(trace_dir: str, top_k: int = 25):
         for c in children:
             walk(c, path + [name])
 
-    root = d.get("byCategory", d)
+    root = d.get("byCategory") or d.get("byProgram") or d
     walk(root, [])
     rows.sort(reverse=True)
     print(f"total leaf self-time: {total[0]:.3g}")

@@ -122,6 +122,41 @@ def test_compact_from_windows_matches_direct():
     np.testing.assert_array_equal(np.asarray(a.seg_ends), np.asarray(b.seg_ends))
 
 
+def test_compact_analytic_payload_matches_legacy():
+    """The analytic compaction payload (step_size given: one per-window row
+    gather + closed-form orbit recompute) must reproduce the legacy
+    per-sample-table gather EXACTLY — same expression, same f32 inputs, so
+    bit-equality is the contract, for both uniform and cone stepping."""
+    state, rays_o, rays_d = _scene()
+    n_rays = rays_o.shape[0]
+    for cone in (0.0, 0.004):
+        ws = traverse_grids_pooled(
+            rays_o, rays_d, state.binaries, state.aabbs,
+            step_size=5e-3, cone_angle=cone,
+            window_budget=n_rays * 64)
+        legacy = compact_samples_from_windows(ws, 4096, n_rays)
+        analytic = compact_samples_from_windows(
+            ws, 4096, n_rays, step_size=5e-3, cone_angle=cone)
+        assert ws.near is not None and ws.wk is not None
+        for fld in ("ray_indices", "valid", "seg_starts", "seg_ends"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(legacy, fld)),
+                np.asarray(getattr(analytic, fld)), err_msg=fld)
+        for fld in ("t_starts", "t_ends", "rays_o", "rays_d"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(legacy, fld)),
+                np.asarray(getattr(analytic, fld)), err_msg=fld)
+        # extras ride the per-window row too
+        extras = jnp.arange(ws.ray_ids.shape[0], dtype=jnp.float32)
+        e_legacy = compact_samples_from_windows(
+            ws, 4096, n_rays, extras=extras)
+        e_analytic = compact_samples_from_windows(
+            ws, 4096, n_rays, extras=extras,
+            step_size=5e-3, cone_angle=cone)
+        np.testing.assert_array_equal(
+            np.asarray(e_legacy.extras), np.asarray(e_analytic.extras))
+
+
 def test_fine_probes_superset_and_tight():
     """fine_probes>0 must emit a SUPERSET of the exact sample set, with only
     a small inflation (conservative block-corner fallbacks)."""

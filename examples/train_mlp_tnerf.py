@@ -70,13 +70,21 @@ def main():
             subject_id=args.scene, root_fp=args.data_root, split="test"
         )
     else:
-        # no dataset on disk: time-varying procedural scene (D-NeRF role)
-        from nerfacc_tpu.data import ProceduralDynamicSceneLoader
+        # no dataset on disk: time-varying procedural scene (D-NeRF role).
+        # "procedurallocaldyn" selects the local/non-smooth-motion variant
+        # (independent per-blob frequencies + sharp appearance windows).
+        from nerfacc_tpu.data import (
+            PROCEDURAL_SCENES,
+            ProceduralDynamicSceneLoader,
+        )
 
-        train_dataset = ProceduralDynamicSceneLoader(
+        loader_cls = PROCEDURAL_SCENES.get(
+            args.scene, ProceduralDynamicSceneLoader
+        )
+        train_dataset = loader_cls(
             split="train", num_rays=args.init_batch_size, seed=args.seed
         )
-        test_dataset = ProceduralDynamicSceneLoader(split="test")
+        test_dataset = loader_cls(split="test")
 
     if args.field == "kplanes":
         from nerfacc_tpu.models import KPlanesRadianceField

@@ -180,16 +180,9 @@ def main():
         test_dataset = ProceduralUnboundedSceneLoader(split="test", n_test=6)
         weight_decay = 0.0
     else:
-        from nerfacc_tpu.data import (
-            ProceduralOpaqueSceneLoader,
-            ProceduralSceneLoader,
-        )
+        from nerfacc_tpu.data import PROCEDURAL_SCENES, ProceduralSceneLoader
 
-        loader_cls = (
-            ProceduralOpaqueSceneLoader
-            if args.scene == "proceduralopaque"
-            else ProceduralSceneLoader
-        )
+        loader_cls = PROCEDURAL_SCENES.get(args.scene, ProceduralSceneLoader)
         aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
         train_dataset = loader_cls(
             split="train", num_rays=args.init_batch_size, seed=args.seed

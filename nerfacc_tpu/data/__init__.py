@@ -1,9 +1,14 @@
 from .device_sampler import DeviceRaySampler
 from .nerf_synthetic import SubjectLoader
 from .procedural import (
+    PROCEDURAL_SCENES,
     ProceduralDynamicSceneLoader,
+    ProceduralLocalDynamicSceneLoader,
+    ProceduralMixedSceneLoader,
     ProceduralOpaqueSceneLoader,
     ProceduralSceneLoader,
+    ProceduralTexturedSceneLoader,
+    ProceduralThinSceneLoader,
     ProceduralUnboundedSceneLoader,
 )
 
@@ -14,4 +19,9 @@ __all__ = [
     "ProceduralDynamicSceneLoader",
     "ProceduralOpaqueSceneLoader",
     "ProceduralUnboundedSceneLoader",
+    "ProceduralTexturedSceneLoader",
+    "ProceduralThinSceneLoader",
+    "ProceduralMixedSceneLoader",
+    "ProceduralLocalDynamicSceneLoader",
+    "PROCEDURAL_SCENES",
 ]

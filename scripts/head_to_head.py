@@ -50,6 +50,11 @@ def main():
     p.add_argument("--eval_images", type=int, default=2)
     p.add_argument("--steps_per_call", type=int, default=25)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--scene", type=str, default="procedural",
+                   help="procedural scene name (see data.PROCEDURAL_SCENES;"
+                   " static scenes only — the round-5 multi-scene protocol"
+                   " runs each family over procedural/opaque/textured/"
+                   "thin/mixed and reports means)")
     args = p.parse_args()
 
     import jax
@@ -60,14 +65,15 @@ def main():
     setup_compilation_cache()
     jax.config.update("jax_default_prng_impl", "rbg")
 
-    from nerfacc_tpu.data import DeviceRaySampler, ProceduralSceneLoader
+    from nerfacc_tpu.data import PROCEDURAL_SCENES, DeviceRaySampler
     from nerfacc_tpu.trainers import NGPOccTrainer
 
     aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
-    train_ds = ProceduralSceneLoader(
+    loader_cls = PROCEDURAL_SCENES[args.scene]
+    train_ds = loader_cls(
         split="train", num_rays=args.num_rays, seed=args.seed
     )
-    test_ds = ProceduralSceneLoader(split="test")
+    test_ds = loader_cls(split="test")
 
     fkw = {}
     if args.resolutions is not None:

@@ -53,6 +53,9 @@ def bench_occ():
     if fine_probes != "auto":
         fine_probes = int(fine_probes)
     encoder_remat = os.environ.get("BENCH_REMAT", "none")
+    #   BENCH_FUSED_LEVELS=1 evaluates all encoder line levels with one
+    #   block-diagonal dot (see CPGridEncoder.fused_levels A/B).
+    fused_levels = os.environ.get("BENCH_FUSED_LEVELS", "0") == "1"
     #   BENCH_OCC_STRIPES: S>1 = rotating 1/S striped dense occupancy refresh
     #   (see NGPOccTrainer.occ_refresh_stripes); 1 = full dense refresh.
     occ_stripes = int(os.environ.get("BENCH_OCC_STRIPES", "1"))
@@ -60,7 +63,11 @@ def bench_occ():
     ds = ProceduralSceneLoader(
         split="train", num_rays=num_rays, width=256, height=256, n_train=6
     )
-    field = CPRadianceField(aabb=tuple(aabb), encoder_remat=encoder_remat)
+    field = CPRadianceField(
+        aabb=tuple(aabb),
+        encoder_remat=encoder_remat,
+        fused_levels=fused_levels,
+    )
     trainer = NGPOccTrainer(
         field=field,
         aabb=aabb,

@@ -146,6 +146,34 @@ def test_cp_encoder_remat_matches_plain():
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_cp_encoder_fused_levels_matches_per_level():
+    """fused_levels evaluates every line level with ONE block-diagonal dot;
+    the zero off-diagonal blocks contribute nothing, so in f32 the result
+    (and the line-table grads) must equal the per-level dense path exactly.
+    (Measured slower on-chip — 17.3M vs 23.1M samples/s end-to-end, the 3x
+    zero-block FLOPs don't pay — kept as an A/B knob; see PERF.md.)"""
+    res, ranks = (8, 32, 64), (4, 8, 8)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3))
+    plain = CPGridEncoder(
+        resolutions=res, ranks=ranks, block_size=0, compute_dtype=jnp.float32
+    )
+    fused = CPGridEncoder(
+        resolutions=res, ranks=ranks, block_size=0,
+        compute_dtype=jnp.float32, fused_levels=True,
+    )
+    params = plain.init(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(plain(params, x)), np.asarray(fused(params, x)),
+        rtol=0, atol=1e-6,
+    )
+    ga = jax.grad(lambda p: jnp.sum(plain(p, x) ** 2))(params)
+    gb = jax.grad(lambda p: jnp.sum(fused(p, x) ** 2))(params)
+    for la, lb in zip(ga["lines"], gb["lines"]):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=0, atol=1e-5
+        )
+
+
 def test_triplane_encoder_matches_bilinear_gather():
     """The matmul-chain plane encode (hat_u @ P, then the local
     v-contraction) must equal naive 4-neighbor bilinear interpolation of

@@ -59,6 +59,9 @@ def bench_occ():
     #   BENCH_OCC_STRIPES: S>1 = rotating 1/S striped dense occupancy refresh
     #   (see NGPOccTrainer.occ_refresh_stripes); 1 = full dense refresh.
     occ_stripes = int(os.environ.get("BENCH_OCC_STRIPES", "1"))
+    #   BENCH_COMPACTION: "onehot" (default) = sort-free hierarchical cumsum
+    #   inversion (ops/compaction.py); "sort" = the legacy key sorts.
+    compaction = os.environ.get("BENCH_COMPACTION", "onehot")
 
     ds = ProceduralSceneLoader(
         split="train", num_rays=num_rays, width=256, height=256, n_train=6
@@ -76,6 +79,7 @@ def bench_occ():
         render_step_size=5e-3,
         fine_probes=fine_probes,
         occ_refresh_stripes=occ_stripes,
+        compaction=compaction,
     )
     state = trainer.init_state()
 

@@ -453,6 +453,7 @@ def sampling_pooled(
     window_size: int = 8,
     max_coarse: int = 160,
     fine_probes: int = 0,
+    compaction: str = "onehot",
 ) -> WindowSamples:
     """Sampling with spatial skipping via the GLOBAL window pool — the
     train-path fast traversal (see :func:`~nerfacc_tpu.grid.
@@ -488,6 +489,7 @@ def sampling_pooled(
         window_size=window_size,
         max_coarse=max_coarse,
         fine_probes=fine_probes,
+        compaction=compaction,
     )
 
 

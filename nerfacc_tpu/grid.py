@@ -686,26 +686,30 @@ class WindowSamples(NamedTuple):
 
 
 def _pool_payload(
-    j0r, near_planes, rays_o, rays_d, seg_lo, seg_hi, seg_level, seg_valid
+    j0r, near_planes, rays_o, rays_d, seg_lo, seg_hi, seg_level, seg_valid,
+    extra=None,
 ):
     """Per-ray payload table consumed by the fine phase via ONE row gather
     per pool window: [j0, near, o(3), d(3), seg_lo, seg_hi, seg_level,
     seg_valid] — separate takes cost ~0.5 ms each on this backend
-    regardless of width, so everything rides one gather."""
+    regardless of width, so everything rides one gather.  ``extra``
+    appends caller lanes after the segment block (the sort-free window
+    compaction rides its rank->lane table here; row-gather cost is per
+    ROW, so widening is nearly free)."""
     dtype = rays_o.dtype
-    return jnp.concatenate(
-        [
-            j0r.astype(dtype)[:, None],
-            near_planes[:, None],
-            rays_o,
-            rays_d,
-            seg_lo,
-            seg_hi,
-            seg_level.astype(dtype),
-            seg_valid.astype(dtype),
-        ],
-        axis=-1,
-    )  # (n_rays, 8 + 4 * n_segments)
+    parts = [
+        j0r.astype(dtype)[:, None],
+        near_planes[:, None],
+        rays_o,
+        rays_d,
+        seg_lo,
+        seg_hi,
+        seg_level.astype(dtype),
+        seg_valid.astype(dtype),
+    ]
+    if extra is not None:
+        parts.append(extra.astype(dtype))
+    return jnp.concatenate(parts, axis=-1)  # (n_rays, 8 + 4*n_segments [+E])
 
 
 def _fine_phase_from_payload(
@@ -727,7 +731,7 @@ def _fine_phase_from_payload(
     slo_w = prow[:, 8 : 8 + n_segments]
     shi_w = prow[:, 8 + n_segments : 8 + 2 * n_segments]
     slev_w = prow[:, 8 + 2 * n_segments : 8 + 3 * n_segments].astype(jnp.int32)
-    sval_w = prow[:, 8 + 3 * n_segments :] > 0.5
+    sval_w = prow[:, 8 + 3 * n_segments : 8 + 4 * n_segments] > 0.5
 
     wk = (j0_w + wj) * f  # (pool,) first orbit index
     k_fine = wk[:, None] + jnp.arange(f, dtype=jnp.int32)[None, :]
@@ -769,6 +773,7 @@ def _fine_phase_from_payload(
         "pool",
         "dilation",
         "fine_probes",
+        "compaction",
     ),
 )
 def traverse_grids_pooled(
@@ -788,8 +793,13 @@ def traverse_grids_pooled(
     rays_mask: Optional[jnp.ndarray] = None,
     fine_probes: int = 0,
     coarse_binaries=None,
+    compaction: str = "onehot",
 ) -> WindowSamples:
     """Coarse-to-fine traversal with a GLOBAL window pool.
+
+    ``compaction``: "onehot" (default) = sort-free hierarchical cumsum
+    inversion of the window pool (ops/compaction.py); "sort" = the legacy
+    order-preserving key sort.  Bit-identical outputs (tested).
 
     ``coarse_binaries``: optional precomputed pooled grid(s) for the window
     phase — one array, or a tuple at several resolutions for a pyramid
@@ -838,25 +848,55 @@ def traverse_grids_pooled(
     n_segments = seg_lo.shape[-1]
     j0r = j0[:, 0]
 
-    # ---- window compaction (order-preserving sort trick) -----------------
-    nw = n_rays * Kc
-    wv_flat = window_valid.reshape(-1)
-    iota = jnp.arange(nw, dtype=jnp.int32)
-    keys = jnp.where(wv_flat, iota, iota + nw)
-    _, order = jax.lax.sort_key_val(keys, iota)
-    wsel = order[:Wb]
-    counts_w = jnp.sum(window_valid.astype(jnp.int32), axis=-1)  # (n,)
-    total_w = jnp.sum(counts_w)
+    # ---- window compaction (sort-free; see ops/compaction.py) ------------
+    # The p-th surviving window's (ray, rank) comes from inverting the
+    # per-ray count cumsum — two levels of vectorized compares + one exact
+    # byte-split one-hot row fetch — and its coarse slot j is resolved from
+    # the ray's validity-cumsum lanes riding the payload gather (one
+    # (Wb, Kc) compare+sum; no (n, Kc, Kc) table).  Replaces the
+    # (n_rays*Kc)-key sort that was 9.7% of round-5 device time
+    # (bit-identical outputs; the legacy sort path remains under
+    # compaction="sort" and in the equality tests).
+    from .ops.compaction import (
+        lane_from_cumsum,
+        stable_partition_rows,
+        valid_cumsum_lanes,
+    )
+
+    if compaction == "sort":
+        counts_w = jnp.sum(window_valid.astype(jnp.int32), axis=-1)  # (n,)
+        nw = n_rays * Kc
+        wv_flat = window_valid.reshape(-1)
+        iota = jnp.arange(nw, dtype=jnp.int32)
+        keys = jnp.where(wv_flat, iota, iota + nw)
+        _, order = jax.lax.sort_key_val(keys, iota)
+        wsel = order[:Wb]
+        total_w = jnp.sum(counts_w)
+        wray_raw = wsel // Kc
+        wj = wsel % Kc
+        j_cs = None
+    else:
+        j_cs = valid_cumsum_lanes(window_valid)  # (n_rays, Kc)
+        counts_w = j_cs[:, -1].astype(jnp.int32)
+        # rank comes from a per-ray exclusive-cumsum payload lane (rank =
+        # p - C_excl[ray], resolved AFTER the payload gather) rather than
+        # stable_partition_rows' masked-max rank output — the unused rank
+        # lets XLA dead-code-eliminate the two (Wb, s) where+max fusions.
+        c_incl = jnp.cumsum(counts_w)
+        ray_excl = (c_incl - counts_w).astype(j_cs.dtype)
+        j_cs = jnp.concatenate([j_cs, ray_excl[:, None]], axis=-1)
+        wray_raw, _unused_rank, total_w = stable_partition_rows(
+            counts_w, Wb
+        )
+        wj = None
     w_in = jnp.arange(Wb, dtype=jnp.int32) < jnp.minimum(total_w, Wb)
-    wray_raw = wsel // Kc
     wray = jnp.where(w_in, wray_raw, n_rays).astype(jnp.int32)
     wray_c = jnp.minimum(wray, n_rays - 1)
-    wj = wsel % Kc
 
     # ---- fine phase on the pool ------------------------------------------
     pay = _pool_payload(
         j0r, near_planes, rays_o, rays_d, seg_lo, seg_hi, seg_level,
-        seg_valid,
+        seg_valid, extra=j_cs,
     )
     prow = jnp.take(pay, wray_c, axis=0)  # (Wb, C)
     # NOTE: a one-hot MXU spread of the payload was tried and reverted:
@@ -864,6 +904,14 @@ def traverse_grids_pooled(
     # t values), and inf segment bounds of grid-missing rays poison a
     # matmul spread with 0*inf NaNs — sanitizing + 6-pass precision ate the
     # win over this plain row gather.
+    if wj is None:
+        cs_off = 8 + 4 * n_segments
+        wrank = (
+            jnp.arange(Wb, dtype=jnp.int32)
+            - prow[:, cs_off + Kc].astype(jnp.int32)
+        )
+        wj = lane_from_cumsum(prow[:, cs_off : cs_off + Kc], wrank)
+        wj = jnp.clip(wj, 0, Kc - 1)
     t0, t1, fine_valid, o_w, d_w, near_w, wk_w = _fine_phase_from_payload(
         prow, wj, n_segments, f, step_size, cone_angle, binaries, aabbs,
         fine_probes,

@@ -140,6 +140,11 @@ class NGPOccTrainer:
     # density into eval-skipped voxels).  Explicit ints: -1 = box, 0 =
     # exact per-candidate gather, K>0 = K run-start probes.
     fine_probes: Any = "auto"
+    # pool/sample compaction strategy: "onehot" (default) = sort-free
+    # hierarchical cumsum inversion (ops/compaction.py, bit-identical to
+    # the sort, measured faster — the two sorts were 23% of the round-5
+    # step trace); "sort" = the legacy order-preserving key sorts.
+    compaction: str = "onehot"
     # dense occupancy updates: refresh ALL cells every update_interval steps
     # (scatter/sort-free — see update_occ_grid docstring) instead of the
     # reference's 1/4-uniform + 1/4-occupied sampled update
@@ -425,6 +430,7 @@ class NGPOccTrainer:
                 window_size=self.window_size,
                 max_coarse=max_coarse,
                 fine_probes=self.fine_probes,
+                compaction=self.compaction,
             )
             samples = compact_samples_from_windows(
                 ws,
@@ -432,6 +438,7 @@ class NGPOccTrainer:
                 rays_o.shape[0],
                 step_size=self.render_step_size,
                 cone_angle=self.cone_angle,
+                compaction=self.compaction,
             )
             terminated = ws.terminated
             # demand estimate for the batch-size controller: dropped windows

@@ -124,7 +124,10 @@ def compact_samples(res: TraversalResult, budget: int) -> CompactSamples:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("budget", "n_rays", "step_size", "cone_angle")
+    jax.jit,
+    static_argnames=(
+        "budget", "n_rays", "step_size", "cone_angle", "compaction"
+    ),
 )
 def compact_samples_from_windows(
     ws,
@@ -133,13 +136,20 @@ def compact_samples_from_windows(
     extras: Optional[jnp.ndarray] = None,
     step_size: Optional[float] = None,
     cone_angle: float = 0.0,
+    compaction: str = "onehot",
 ) -> CompactSamples:
     """Compact a :class:`~nerfacc_tpu.grid.WindowSamples` pool into the flat
     fixed-budget sample buffer (same contract as :func:`compact_samples`).
 
-    The pool is already (ray, window)-ordered, so one order-preserving key
-    sort of ``window_budget * window_size`` candidates suffices — this is
-    2-3x smaller than compacting the padded ``(n_rays, max_samples)`` layout.
+    The pool is already (ray, window)-ordered, so a stable compaction of
+    ``window_budget * window_size`` candidates suffices — this is 2-3x
+    smaller than compacting the padded ``(n_rays, max_samples)`` layout.
+    ``compaction="onehot"`` (default) sorts a SINGLE operand (the p-th
+    kept candidate is recovered as ``key % n``), halving the sort
+    network's data movement vs the legacy ``"sort"`` (key, value) sort —
+    bit-identical outputs (tested).  See the in-body comment for why the
+    sort, not the ops/compaction.py cumsum inversion, is the right
+    algorithm at THIS stage's shapes.
 
     With ``step_size`` given (and the pool carrying ``near``/``wk``), the
     payload is WINDOW-granular: one ``(budget,)`` row gather of the
@@ -155,19 +165,36 @@ def compact_samples_from_windows(
 
     Wb, f = ws.valid.shape
     n = Wb * f
+    analytic = step_size is not None and ws.near is not None
+
+    # Stable compaction via one order-preserving key sort.  A
+    # cumsum-inversion alternative (ops/compaction.py) was built and
+    # measured at this stage's shapes (budget 2^18 outputs over ~52k
+    # windows): every (budget, ~256) f32 intermediate it needs is a
+    # >=134 MB HBM pass, and it lost to the sort end-to-end (18.6M vs
+    # 23.1M samples/s) — the inversion only pays where the output count
+    # is small (the WINDOW stage, see traverse_grids_pooled).  What does
+    # pay here: compaction="onehot" (default) sorts ONE operand instead
+    # of (key, value) — the value is recoverable as ``key % n`` since
+    # valid keys are their own iota and invalid keys are iota + n —
+    # halving the sort network's data movement, bit-identically.
     flat_valid = ws.valid.reshape(-1)
     iota = jnp.arange(n, dtype=jnp.int32)
     keys = jnp.where(flat_valid, iota, iota + n)
-    _, order = jax.lax.sort_key_val(keys, iota)
-    sel = order[:budget]
+    if compaction == "onehot":
+        sel = jax.lax.sort(keys)[:budget] % n
+    else:
+        _, order = jax.lax.sort_key_val(keys, iota)
+        sel = order[:budget]
     if budget > n:
         sel = jnp.concatenate([sel, jnp.zeros((budget - n,), jnp.int32)])
-
     total = jnp.sum(ws.counts)
+    sel_w = sel // f
+    lane_sel = (sel % f).astype(jnp.float32)
+
     num_valid = jnp.minimum(total, budget)
     valid = jnp.arange(budget, dtype=jnp.int32) < num_valid
 
-    analytic = step_size is not None and ws.near is not None
     if analytic:
         per_window = [
             ws.ray_ids.astype(jnp.float32)[:, None],
@@ -181,8 +208,9 @@ def compact_samples_from_windows(
                 extras[:, None] if extras.ndim == 1 else extras
             )
         pw = jnp.concatenate(per_window, axis=-1)  # (Wb, 9 + C)
-        rows = jnp.take(pw, sel // f, axis=0)  # (budget, 9 + C)
-        lane = (sel % f).astype(jnp.float32)
+        rows = jnp.take(pw, sel_w, axis=0)  # (budget, 9 + C)
+        lane = lane_sel
+        ex_off = 9
         k = rows[:, 2] + lane  # orbit index of the sample
         t0 = _orbit_t(rows[:, 1:2], k[:, None], step_size, cone_angle)[:, 0]
         t1 = _orbit_t(
@@ -194,7 +222,7 @@ def compact_samples_from_windows(
         out_o = jnp.where(valid[:, None], rows[:, 3:6], 0.0)
         out_d = jnp.where(valid[:, None], rows[:, 6:9], 0.0)
         out_extras = (
-            jnp.where(valid[:, None], rows[:, 9:], 0.0)
+            jnp.where(valid[:, None], rows[:, ex_off:], 0.0)
             if extras is not None
             else None
         )

@@ -35,6 +35,8 @@ def main():
         sample_budget=1 << 18,
         max_samples_per_ray=1024,
         render_step_size=5e-3,
+        # BENCH_COMPACTION mirrors bench.py's A/B knob
+        compaction=os.environ.get("BENCH_COMPACTION", "onehot"),
     )
     state = trainer.init_state()
     state = state._replace(step=jnp.asarray(2048, jnp.int32))

@@ -1,10 +1,21 @@
-"""Compaction tests: order preservation, budget truncation bookkeeping, and
-the flat-renderer equivalence with the batched layout."""
+"""Compaction tests.
+
+Legacy contract: order preservation, budget truncation bookkeeping, the
+sorted-ids invariant of the flat renderer.  Round-5 addition: the sort-free
+hierarchical cumsum inversion (ops/compaction.py) must reproduce the
+sort-trick stable compaction BIT-FOR-BIT — it replaced the two hottest ops
+of the round-5 step trace, so equality is the whole contract."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerfacc_tpu.grid import TraversalResult
+from nerfacc_tpu.ops.compaction import (
+    lane_from_cumsum,
+    stable_partition_rows,
+    valid_cumsum_lanes,
+)
 from nerfacc_tpu.utils.rendering import compact_samples
 
 
@@ -97,3 +108,151 @@ def test_sorted_accumulate_matches_segment_sum_partial_fill():
         num_segments=n_rays + 1,
     )[:n_rays]
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
+
+
+def _reference_partition(counts, budget):
+    """numpy oracle: stable compaction row/rank via explicit expansion."""
+    rows = np.repeat(np.arange(len(counts)), counts)
+    ranks = np.concatenate([np.arange(c) for c in counts]) if len(rows) else (
+        np.zeros((0,), np.int64)
+    )
+    out_row = np.full((budget,), len(counts), np.int32)
+    out_rank = np.zeros((budget,), np.int32)
+    k = min(budget, len(rows))
+    out_row[:k] = rows[:k]
+    out_rank[:k] = ranks[:k]
+    return out_row, out_rank, len(rows)
+
+
+@pytest.mark.parametrize(
+    "n,budget,seed",
+    [
+        (7, 16, 0),        # tiny, budget > total
+        (2048, 52428, 1),  # window-stage shape (rays -> pool)
+        (52428, 262144, 2),  # sample-stage shape (windows -> budget)
+        (100, 64, 3),      # budget < total (truncation)
+        (513, 1000, 4),    # non-power-of-two rows
+    ],
+)
+def test_stable_partition_rows_matches_oracle(n, budget, seed):
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(0, 9, n).astype(np.int32)
+    # sprinkle structure: runs of empty rows incl. at the boundaries
+    counts[: min(3, n)] = 0
+    counts[-min(2, n):] = 0
+    if n > 20:
+        counts[10:20] = 0
+    row, rank, total = jax.jit(
+        stable_partition_rows, static_argnums=1
+    )(jnp.asarray(counts), budget)
+    ref_row, ref_rank, ref_total = _reference_partition(counts, budget)
+    assert int(total) == ref_total
+    k = min(budget, ref_total)
+    np.testing.assert_array_equal(np.asarray(row)[:k], ref_row[:k])
+    np.testing.assert_array_equal(np.asarray(rank)[:k], ref_rank[:k])
+    # past-total slots must report row == n (the mask contract)
+    np.testing.assert_array_equal(
+        np.asarray(row)[k:], np.full((budget - k,), n, np.int32)
+    )
+
+
+def test_stable_partition_all_empty_and_all_full():
+    for counts in (np.zeros(64, np.int32), np.full(64, 8, np.int32)):
+        row, rank, total = stable_partition_rows(jnp.asarray(counts), 128)
+        ref_row, ref_rank, ref_total = _reference_partition(counts, 128)
+        k = min(128, ref_total)
+        assert int(total) == ref_total
+        np.testing.assert_array_equal(np.asarray(row)[:k], ref_row[:k])
+        np.testing.assert_array_equal(np.asarray(rank)[:k], ref_rank[:k])
+
+
+def test_lane_from_cumsum():
+    """lane_from_cumsum(valid_cumsum_lanes(v), q) = index of row's q-th set
+    bit (m for q >= count)."""
+    rng = np.random.default_rng(7)
+    valid = rng.random((100, 8)) < 0.5
+    cs = valid_cumsum_lanes(jnp.asarray(valid))
+    np.testing.assert_array_equal(
+        np.asarray(cs), np.cumsum(valid, axis=-1).astype(np.float32)
+    )
+    for q in range(8):
+        lanes = lane_from_cumsum(cs, jnp.full((100,), q, jnp.int32))
+        for r in range(100):
+            set_bits = np.flatnonzero(valid[r])
+            want = set_bits[q] if q < len(set_bits) else 8
+            assert int(lanes[r]) == want, (r, q)
+
+
+def test_pooled_traversal_onehot_matches_sort():
+    """traverse_grids_pooled(compaction="onehot") must equal the legacy
+    sort path on every VALID pool slot and on all per-ray outputs."""
+    from nerfacc_tpu.grid import traverse_grids_pooled
+    from tests.test_pooled_traversal import _scene
+
+    state, rays_o, rays_d = _scene()
+    n_rays = rays_o.shape[0]
+    for cone in (0.0, 0.004):
+        kw = dict(
+            step_size=5e-3, cone_angle=cone, window_budget=n_rays * 64
+        )
+        a = traverse_grids_pooled(
+            rays_o, rays_d, state.binaries, state.aabbs,
+            compaction="sort", **kw,
+        )
+        b = traverse_grids_pooled(
+            rays_o, rays_d, state.binaries, state.aabbs,
+            compaction="onehot", **kw,
+        )
+        # per-ray outputs: exact
+        for fld in ("counts", "termination_planes", "terminated",
+                    "window_overflow"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, fld)), np.asarray(getattr(b, fld)),
+                err_msg=fld,
+            )
+        # pool slots: exact wherever either path marks the slot valid
+        np.testing.assert_array_equal(
+            np.asarray(a.valid), np.asarray(b.valid)
+        )
+        m = np.asarray(a.valid)
+        mrow = m.any(axis=-1)
+        for fld in ("t_starts", "t_ends"):
+            va, vb = np.asarray(getattr(a, fld)), np.asarray(getattr(b, fld))
+            np.testing.assert_array_equal(va[m], vb[m], err_msg=fld)
+        for fld in ("ray_ids", "rays_o", "rays_d", "near", "wk"):
+            va, vb = np.asarray(getattr(a, fld)), np.asarray(getattr(b, fld))
+            np.testing.assert_array_equal(va[mrow], vb[mrow], err_msg=fld)
+
+
+def test_compact_from_windows_onehot_matches_sort():
+    """compact_samples_from_windows: sort-free analytic path must equal the
+    sort-based analytic path field-for-field (both already equal the legacy
+    per-sample-table path)."""
+    from nerfacc_tpu.grid import traverse_grids_pooled
+    from nerfacc_tpu.utils.rendering import compact_samples_from_windows
+    from tests.test_pooled_traversal import _scene
+
+    state, rays_o, rays_d = _scene()
+    n_rays = rays_o.shape[0]
+    for cone in (0.0, 0.004):
+        ws = traverse_grids_pooled(
+            rays_o, rays_d, state.binaries, state.aabbs,
+            step_size=5e-3, cone_angle=cone, window_budget=n_rays * 64,
+        )
+        extras = jnp.arange(ws.ray_ids.shape[0], dtype=jnp.float32)
+        for budget in (4096, 1 << 14):
+            a = compact_samples_from_windows(
+                ws, budget, n_rays, extras=extras,
+                step_size=5e-3, cone_angle=cone, compaction="sort",
+            )
+            b = compact_samples_from_windows(
+                ws, budget, n_rays, extras=extras,
+                step_size=5e-3, cone_angle=cone, compaction="onehot",
+            )
+            for fld in ("ray_indices", "valid", "seg_starts", "seg_ends",
+                        "t_starts", "t_ends", "rays_o", "rays_d", "extras",
+                        "num_valid", "overflow", "first_incomplete_ray"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, fld)),
+                    np.asarray(getattr(b, fld)), err_msg=fld,
+                )

@@ -74,11 +74,18 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     )
 
     W = _hat(omega)
-    W2 = W @ W
+    # precision="highest": TPU matmuls default to single-pass bf16 — an
+    # ~0.4% relative error that, through W@W and the downstream compose,
+    # quantizes rotations at the ~0.2-1 DEGREE level.  Measured: Sim3
+    # registration of poses perturbed by 0.01 deg of noise reads ~1.2 deg
+    # on the TPU backend with default precision and 0.010 deg with
+    # "highest" — the entire round-4 "BARF rotation floor" was this.
+    # The matrices are (n, 3, 3); full f32 costs nothing measurable.
+    W2 = jnp.einsum("...ij,...jk->...ik", W, W, precision="highest")
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     R = eye + a[..., None, None] * W + b[..., None, None] * W2
     V = eye + b[..., None, None] * W + c[..., None, None] * W2
-    t = jnp.einsum("...ij,...j->...i", V, rho)
+    t = jnp.einsum("...ij,...j->...i", V, rho, precision="highest")
     return jnp.concatenate([R, t[..., None]], axis=-1)
 
 
@@ -90,8 +97,10 @@ def compose_pose(delta: jnp.ndarray, pose: jnp.ndarray) -> jnp.ndarray:
     """
     Rd, td = delta[..., :3], delta[..., 3]
     Rp, tp = pose[..., :3], pose[..., 3]
-    R = Rd @ Rp
-    t = jnp.einsum("...ij,...j->...i", Rd, tp) + td
+    # "highest": see se3_exp — bf16-default 3x3 products put a ~0.2-1 deg
+    # noise floor under every pose this touches.
+    R = jnp.einsum("...ij,...jk->...ik", Rd, Rp, precision="highest")
+    t = jnp.einsum("...ij,...j->...i", Rd, tp, precision="highest") + td
     return jnp.concatenate([R, t[..., None]], axis=-1)
 
 

@@ -178,7 +178,13 @@ class BARFTrainer:
             ],
             axis=-1,
         )  # OpenGL convention — matches the data loaders
-        rays_d = jnp.einsum("nij,nj->ni", c2w[..., :3], dirs)
+        # "highest": bf16-default products quantize ray directions at
+        # ~0.4% (several pixels at this focal length) — the training
+        # signal for sub-degree pose registration lives below that (see
+        # models/pose.py se3_exp).
+        rays_d = jnp.einsum(
+            "nij,nj->ni", c2w[..., :3], dirs, precision="highest"
+        )
         rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         rays_o = c2w[..., 3]
         return rays_o, rays_d

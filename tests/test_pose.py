@@ -110,6 +110,36 @@ def test_pose_registration_errors_zero_for_similarity_gauge():
     assert err2["rot_deg"] > 0.5
 
 
+def test_pose_math_precision_floor():
+    """Tiny perturbations must read back at their true magnitude.
+
+    Regression for the round-4 "BARF rotation floor": with TPU-default
+    (single-pass bf16) matmul precision in se3_exp/compose_pose, poses
+    perturbed by 0.01 deg of rotation noise measured ~1.2 deg after Sim3
+    registration — a pure evaluation/composition artifact that also
+    quantized the training rays.  The pose math now pins
+    precision="highest"; 0.0001-rad noise must register within 3x of its
+    analytic magnitude on EVERY backend.
+    """
+    rng = np.random.default_rng(11)
+    n = 24
+    c2w = np.zeros((n, 3, 4), np.float32)
+    for i in range(n):
+        c2w[i, :, :3] = _rodrigues(rng.normal(size=3))
+        c2w[i, :, 3] = 4.0 * rng.normal(size=3)
+    std = 1e-4
+    noisy, xi = perturb_poses(
+        jax.random.PRNGKey(43), jnp.asarray(c2w), rot_std=std, trans_std=std
+    )
+    err = pose_registration_errors(np.asarray(noisy), c2w)
+    applied_deg = float(
+        np.degrees(np.linalg.norm(np.asarray(xi)[:, :3], axis=-1).mean())
+    )
+    assert err["rot_deg"] < 3.0 * applied_deg + 0.02, (
+        err, applied_deg
+    )  # ~0.009 deg applied; bf16 pose math reads ~1.2 deg
+
+
 def test_coarse_to_fine_alpha_schedule_and_window():
     from nerfacc_tpu.models import SinusoidalEncoder
 

@@ -138,6 +138,7 @@ def main():
                 f"pose R {err['rot_deg']:.3f} deg T {err['trans']:.4f}"
             )
 
+    train_wall = time.time() - tic
     err = pose_registration_errors(trainer.refined_poses(state), c2w_gt)
     metrics = trainer.eval_metrics(state, test_dataset, args.eval_images)
     print(
@@ -145,6 +146,19 @@ def main():
         f"pose R {err['rot_deg']:.3f} deg (from {err0['rot_deg']:.3f}) | "
         f"T {err['trans']:.4f} (from {err0['trans']:.4f})"
     )
+    import json
+
+    print(json.dumps({
+        "name": f"barf@{args.scene if args.data_root else 'procedural'}",
+        "steps": args.max_steps,
+        "psnr": round(metrics["psnr"], 2),
+        "ssim": round(metrics["ssim"], 4),
+        "rot_deg": round(err["rot_deg"], 4),
+        "trans": round(err["trans"], 5),
+        "rot_deg_init": round(err0["rot_deg"], 4),
+        "trans_init": round(err0["trans"], 5),
+        "train_wall_s": round(train_wall, 1),
+    }), flush=True)
 
 
 if __name__ == "__main__":

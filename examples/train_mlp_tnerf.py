@@ -44,6 +44,20 @@ def main():
                              "tnerf 0)")
     parser.add_argument("--lr", type=float, default=None,
                         help="override the per-field default learning rate")
+    parser.add_argument("--plane_activation", type=str, default="none",
+                        choices=["none", "tanh"],
+                        help="kplanes only: bounded per-plane feature "
+                             "activation (1 + tanh(f - 1)) — breaks the "
+                             "Hadamard-product positive-feedback loop that "
+                             "collapses low-TV runs (see KPlanesEncoder)")
+    parser.add_argument("--amp_prior", type=float, default=0.0,
+                        help="kplanes only: amplitude prior ratio — adds "
+                             "amp_prior * mean((plane-1)^2) to the "
+                             "regularizer (scaled by field_reg_weight)")
+    parser.add_argument("--log_plane_norms", action="store_true",
+                        help="kplanes only: log per-level plane magnitude "
+                             "stats at every log interval (collapse "
+                             "diagnosis)")
     args = parser.parse_args()
 
     import jax
@@ -89,8 +103,16 @@ def main():
     if args.field == "kplanes":
         from nerfacc_tpu.models import KPlanesRadianceField
 
-        field = KPlanesRadianceField(aabb=tuple(aabb))
-        lr, adam_eps, warmup, reg_default = 1e-2, 1e-15, 100, 1e-3
+        field = KPlanesRadianceField(
+            aabb=tuple(aabb),
+            plane_activation=args.plane_activation,
+            amp_prior=args.amp_prior,
+        )
+        # TV 1e-3 is the raw-product stability requirement; the bounded
+        # tanh activation doesn't need the strong prior (measured, see
+        # docs/benchmarks.md K-Planes stability table)
+        reg_raw = 1e-3 if args.plane_activation == "none" else 1e-4
+        lr, adam_eps, warmup, reg_default = 1e-2, 1e-15, 100, reg_raw
     elif args.field == "tineuvox":
         from nerfacc_tpu.models import TiNeuVoxRadianceField
 
@@ -130,6 +152,7 @@ def main():
     tic = time.time()
     M = max(1, args.steps_per_call)
     step = 0
+    total_samples = 0
     while step <= args.max_steps:
         datas = [
             train_dataset[int(rng.integers(0, len(train_dataset)))]
@@ -138,6 +161,7 @@ def main():
         batches = {k: np.stack([d[k] for d in datas]) for k in datas[0]}
         state, auxs = trainer.train_steps(state, batches)
         step += M
+        total_samples += int(np.asarray(auxs["n_total_samples"]).sum())
 
         n_total = int(np.asarray(auxs["n_total_samples"])[-1])
         if n_total > 0 and args.target_sample_batch_size > 0:
@@ -155,12 +179,40 @@ def main():
                 f"elapsed_time={time.time() - tic:.2f}s | step={step} | "
                 f"psnr={psnr:.2f} | num_rays={len(datas[0]['rgb'])}"
             )
+            if args.log_plane_norms and args.field == "kplanes":
+                # collapse diagnosis: per-level plane magnitude stats —
+                # the Hadamard feedback shows as |p-1| drifting up level
+                # by level before train PSNR moves
+                for li, p in enumerate(state.params["encoder"]["planes"]):
+                    p = np.asarray(p)
+                    d = np.abs(p - 1.0)
+                    print(
+                        f"  planes L{li}: mean|p-1|={d.mean():.4f} "
+                        f"max|p-1|={d.max():.3f} rms={np.sqrt((p*p).mean()):.4f}",
+                        flush=True,
+                    )
 
+    train_wall = time.time() - tic
     m = trainer.eval_metrics(state, test_dataset)
     print(
         f"evaluation: psnr_avg={m['psnr']:.2f} ssim_avg={m['ssim']:.4f} | "
-        f"train_wall={time.time() - tic:.1f}s"
+        f"train_wall={train_wall:.1f}s"
     )
+    # one machine-readable summary line (the round-5 multi-scene sweep
+    # harness greps these; samples_per_sec = rendered train samples /
+    # train wall — the same numerator bench.py reports)
+    import json
+
+    print(json.dumps({
+        "name": f"{args.field}@{args.scene}",
+        "field": args.field,
+        "scene": args.scene,
+        "steps": args.max_steps,
+        "psnr": round(m["psnr"], 2),
+        "ssim": round(m["ssim"], 4),
+        "train_wall_s": round(train_wall, 1),
+        "samples_per_sec": round(total_samples / max(train_wall, 1e-9)),
+    }), flush=True)
 
 
 if __name__ == "__main__":

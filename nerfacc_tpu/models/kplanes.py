@@ -49,6 +49,24 @@ class KPlanesEncoder:
     resolutions: Sequence[int] = (32, 64)
     ranks: Sequence[int] = (16, 16)
     compute_dtype: Any = jnp.bfloat16
+    # Per-plane feature activation applied after the bilinear interp:
+    #   "none" — raw features (the paper's formulation).  The 6-way
+    #       Hadamard product then has a multiplicative positive-feedback
+    #       loop: d(prod)/d(f_i) = prod of the OTHER five, so once plane
+    #       magnitudes drift above ~1 every gradient amplifies the drift
+    #       (measured: TV 1e-4 collapses 30 -> 9 dB by step 10k; TV 1e-3
+    #       damps it — docs/benchmarks.md).
+    #   "tanh" — f -> 1 + tanh(f - 1): identity-like at the near-one init
+    #       (value, slope both match), bounded to (0, 2), so the product
+    #       stays in (0, 64) and the feedback loop cannot run away; the
+    #       density's dynamic range comes from the MLP + trunc_exp.
+    plane_activation: str = "none"
+    # Amplitude prior: adds amp_prior * mean((plane - 1)^2) PER LEVEL to
+    # param_regularizer (same units as the TV terms, scaled together by
+    # the trainer's field_reg_weight).  A leash on plane magnitude that —
+    # unlike TV — doesn't couple neighboring texels, so it damps the
+    # product feedback without the over-smoothing cost of TV 1e-3.
+    amp_prior: float = 0.0
 
     @property
     def output_dim(self) -> int:
@@ -96,6 +114,12 @@ class KPlanesEncoder:
         ).reshape(6, -1, R, rank)  # (6, N, R, rank)
         hat_v = jnp.stack([hat[b] for _, b in _PAIRS])  # (6, N, R)
         f = jnp.sum(t * hat_v[..., None], axis=2)  # (6, N, rank)
+        if self.plane_activation == "tanh":
+            # bounded features: identity-like at the near-1 init, (0, 2)
+            # range — breaks the Hadamard positive-feedback loop (see the
+            # attribute docstring); applied in f32 so the bound is exact
+            f = 1.0 + jnp.tanh(f.astype(jnp.float32) - 1.0)
+            f = f.astype(self.compute_dtype)
         out = f[0]
         for i in range(1, 6):
             out = out * f[i]
@@ -116,6 +140,9 @@ class KPlanesEncoder:
                 + plane[3:, :, :-2, :]
             )
             terms.append(jnp.mean(t2 * t2))
+            if self.amp_prior > 0.0:
+                d1 = plane - 1.0
+                terms.append(self.amp_prior * jnp.mean(d1 * d1))
         return sum(terms)
 
 
@@ -138,6 +165,8 @@ class KPlanesRadianceField:
     hidden_dim: int = 64
     use_viewdirs: bool = True
     compute_dtype: Any = jnp.bfloat16
+    plane_activation: str = "none"
+    amp_prior: float = 0.0
 
     def __post_init__(self):
         object.__setattr__(
@@ -147,6 +176,8 @@ class KPlanesRadianceField:
                 resolutions=tuple(self.resolutions),
                 ranks=tuple(self.ranks),
                 compute_dtype=self.compute_dtype,
+                plane_activation=self.plane_activation,
+                amp_prior=self.amp_prior,
             ),
         )
 

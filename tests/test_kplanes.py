@@ -130,3 +130,45 @@ def test_kplanes_trainer_smoke():
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], (losses[0], losses[-1])
     assert int(np.asarray(aux["n_total_samples"])) > 0
+
+
+def test_kplanes_tanh_activation_bounded_and_identitylike():
+    """plane_activation="tanh": (a) features (hence products) are bounded,
+    (b) at the near-one init the encoding matches the raw formulation to
+    first order (value and slope agree at f=1), (c) the amp prior adds
+    mean((p-1)^2) to the regularizer."""
+    key = jax.random.PRNGKey(2)
+    raw = KPlanesEncoder(
+        resolutions=(8,), ranks=(4,), compute_dtype=jnp.float32
+    )
+    tan = KPlanesEncoder(
+        resolutions=(8,), ranks=(4,), compute_dtype=jnp.float32,
+        plane_activation="tanh",
+    )
+    params = raw.init(key)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.random((128, 4)).astype(np.float32))
+    # (b) near init: the two formulations agree closely (tanh is identity
+    # to 2nd order at f=1; init spread is 0.1)
+    np.testing.assert_allclose(
+        np.asarray(raw(params, q)), np.asarray(tan(params, q)),
+        atol=5e-3, rtol=0.05,
+    )
+    # (a) blow the planes up 100x: tanh features stay in (0, 2) so the
+    # 6-way product stays < 2^6, while the raw product explodes
+    big = {"planes": [params["planes"][0] * 100.0]}
+    out_t = np.asarray(tan(big, q))
+    out_r = np.asarray(raw(big, q))
+    assert np.abs(out_t).max() <= 64.0
+    assert np.abs(out_r).max() > 1e6
+    # (c) amp prior
+    amp = KPlanesEncoder(
+        resolutions=(8,), ranks=(4,), compute_dtype=jnp.float32,
+        amp_prior=2.0,
+    )
+    base = float(raw.param_regularizer(params))
+    with_amp = float(amp.param_regularizer(params))
+    d1 = np.asarray(params["planes"][0]) - 1.0
+    np.testing.assert_allclose(
+        with_amp - base, 2.0 * float((d1 * d1).mean()), rtol=1e-5
+    )

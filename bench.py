@@ -59,9 +59,14 @@ def bench_occ():
     #   BENCH_OCC_STRIPES: S>1 = rotating 1/S striped dense occupancy refresh
     #   (see NGPOccTrainer.occ_refresh_stripes); 1 = full dense refresh.
     occ_stripes = int(os.environ.get("BENCH_OCC_STRIPES", "1"))
-    #   BENCH_COMPACTION: "onehot" (default) = sort-free hierarchical cumsum
-    #   inversion (ops/compaction.py); "sort" = the legacy key sorts.
+    #   BENCH_COMPACTION: "onehot" (default) = window-stage cumsum inversion
+    #   + single-operand sample sort (ops/compaction.py); "sort" = the
+    #   legacy two-operand key sorts.
     compaction = os.environ.get("BENCH_COMPACTION", "onehot")
+    #   BENCH_WINDOW_DIV: window pool = sample_budget // D (default 5; the
+    #   ~60%-fine-valid sizing note in NGPOccTrainer).  Larger D = smaller
+    #   pool = smaller sort + fine phase, more window overflow.
+    window_div = int(os.environ.get("BENCH_WINDOW_DIV", "0"))
 
     ds = ProceduralSceneLoader(
         split="train", num_rays=num_rays, width=256, height=256, n_train=6
@@ -80,6 +85,7 @@ def bench_occ():
         fine_probes=fine_probes,
         occ_refresh_stripes=occ_stripes,
         compaction=compaction,
+        window_budget=(budget // window_div) if window_div else None,
     )
     state = trainer.init_state()
 

@@ -26,4 +26,17 @@ run_h2h plane128-fpbox proceduralopaque 900 --fine_probes -1 \
   --plane_res 128 --plane_rank 32
 # does exact sampling change the non-opaque rows? (one control)
 run_h2h cp-fpbox procedural 900 --fine_probes -1
+
+# tensorf crashed on textured (before checkpoint 500) and thin (after
+# 500) in the main sweep — rerun with FULL output captured
+for s in proceduraltextured proceduralthin; do
+  # NOTE: match the FINAL record ("results": [...]), not the stray
+  # per-checkpoint line the crashed thin run left behind
+  if ! grep -q "\"name\": \"tensorf@${s}\", \"params\"" "$OUT"; then
+    echo "=== tensorf rerun on ${s} (full log)"
+    timeout 900 python scripts/head_to_head.py --name "tensorf@${s}" \
+      --scene "$s" --field tensorf 2>&1 | tee /tmp/tensorf_${s}.log \
+      | grep -E '^\{' | tail -1 | tee -a "$OUT"
+  fi
+done
 echo done

@@ -12,14 +12,65 @@ bound, which is exactly what TPUs are good at when the gather is batched.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
+from ..ops.table_grad import accumulate_table_rows
+
 # tcnn's spatial hash primes (common/grid.h upstream; public constants).
 _PRIMES = (1, 2654435761, 805459861)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_blend(table_flat, flat_idx, w, grad_cfg):
+    """``sum_c w[..., c] * table_flat[flat_idx[..., c]]`` with a
+    scatter-free table backward.
+
+    Args:
+        table_flat: (rows, F) parameters.
+        flat_idx: (n, L, 8) int32 global row ids.
+        w: (n, L, 8) trilinear corner weights.
+        grad_cfg: static (block_updates, win, win_per_block) for
+            :func:`accumulate_table_rows`.
+
+    Forward math is identical to the plain autodiff path; only the
+    table cotangent is rerouted through the sorted-block accumulator
+    (XLA's scatter-add costs ~60 ns/row — ~520 ms for the NGP hash
+    backward; the sorted path measures ~3x faster, PERF.md).
+    """
+    feats = jnp.take(table_flat, flat_idx, axis=0)  # (n, L, 8, F)
+    return jnp.sum(feats * w[..., None], axis=2)  # (n, L, F)
+
+
+def _gather_blend_fwd(table_flat, flat_idx, w, grad_cfg):
+    feats = jnp.take(table_flat, flat_idx, axis=0)
+    out = jnp.sum(feats * w[..., None], axis=2)
+    return out, (table_flat.shape[0], flat_idx, w, feats)
+
+
+def _gather_blend_bwd(grad_cfg, res, cot):
+    rows, flat_idx, w, feats = res
+    block, win, wpb = grad_cfg
+    # cot: (n, L, F).  Per-corner update rows = w * cot.
+    upd = w[..., None] * cot[:, :, None, :]  # (n, L, 8, F)
+    f = upd.shape[-1]
+    g_table = accumulate_table_rows(
+        flat_idx.reshape(-1),
+        upd.reshape(-1, f),
+        rows,
+        block_updates=block,
+        win=win,
+        win_per_block=wpb,
+    )
+    g_w = jnp.sum(feats * cot[:, :, None, :], axis=-1)  # (n, L, 8)
+    return g_table, None, g_w
+
+
+_gather_blend.defvjp(_gather_blend_fwd, _gather_blend_bwd)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +93,10 @@ class HashGridEncoder:
     log2_hashmap_size: int = 19
     base_resolution: int = 16
     max_resolution: int = 4096
+    # "scatter": plain autodiff (XLA scatter-add backward).
+    # "sorted_blocks": scatter-free sorted-block table gradient
+    # (ops/table_grad.py) — ~3x faster backward at hash-training shapes.
+    table_grad: str = "scatter"
 
     @property
     def table_size(self) -> int:
@@ -119,9 +174,7 @@ class HashGridEncoder:
         idx = hashed.astype(jnp.int32)  # (n, L, 8)
 
         level_offset = (jnp.arange(L, dtype=jnp.int32) * T)[None, :, None]
-        flat_idx = (idx + level_offset).reshape(-1)
-        feats = jnp.take(table.reshape(L * T, F), flat_idx, axis=0)
-        feats = feats.reshape(n, L, 8, F)
+        flat_idx = idx + level_offset  # (n, L, 8)
 
         # Trilinear weights matching the corner offset order.
         wx = jnp.stack([1.0 - frac[..., 0], frac[..., 0]], axis=-1)  # (n, L, 2)
@@ -131,7 +184,18 @@ class HashGridEncoder:
             wx[:, :, :, None, None] * wy[:, :, None, :, None] * wz[:, :, None, None, :]
         ).reshape(n, L, 8)  # (n, L, 8)
 
-        out = jnp.sum(feats * w[..., None], axis=2)  # (n, L, F)
+        table_flat = table.reshape(L * T, F)
+        if self.table_grad == "sorted_blocks":
+            n_upd = max(n * L * 8, 1)
+            block = min(8192, 1 << max(n_upd - 1, 1).bit_length())
+            # Sorted blocks of a uniform stream span ~rows*block/n slots;
+            # cover 4x that (next pow2), floored so tiny tables still tile.
+            span = max((L * T) * block // n_upd, 1024)
+            win = 1 << (span - 1).bit_length()
+            out = _gather_blend(table_flat, flat_idx, w, (block, win, 4))
+        else:
+            feats = jnp.take(table_flat, flat_idx, axis=0)  # (n, L, 8, F)
+            out = jnp.sum(feats * w[..., None], axis=2)  # (n, L, F)
         return out.reshape(batch_shape + (L * F,))
 
 

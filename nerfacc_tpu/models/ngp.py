@@ -126,6 +126,8 @@ class NGPRadianceField:
     # allocate ~32 GB.  Consumers (NGPOccTrainer's update_occ_grid) cap
     # their eval chunk at this.
     max_eval_chunk: int = 2**15
+    # Table-gradient path for the hash encoder (see HashGridEncoder).
+    table_grad: str = "sorted_blocks"
 
     def __post_init__(self):
         object.__setattr__(
@@ -137,6 +139,7 @@ class NGPRadianceField:
                 log2_hashmap_size=self.log2_hashmap_size,
                 base_resolution=self.base_resolution,
                 max_resolution=self.max_resolution,
+                table_grad=self.table_grad,
             ),
         )
 
@@ -232,6 +235,7 @@ class NGPDensityField:
     hidden_dim: int = 64
     compute_dtype: Any = jnp.bfloat16
     max_eval_chunk: int = 2**16  # see NGPRadianceField.max_eval_chunk
+    table_grad: str = "sorted_blocks"  # see HashGridEncoder
 
     def __post_init__(self):
         object.__setattr__(
@@ -243,6 +247,7 @@ class NGPDensityField:
                 log2_hashmap_size=self.log2_hashmap_size,
                 base_resolution=self.base_resolution,
                 max_resolution=self.max_resolution,
+                table_grad=self.table_grad,
             ),
         )
 

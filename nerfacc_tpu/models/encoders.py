@@ -189,9 +189,11 @@ class HashGridEncoder:
             n_upd = max(n * L * 8, 1)
             block = min(8192, 1 << max(n_upd - 1, 1).bit_length())
             # Sorted blocks of a uniform stream span ~rows*block/n slots;
-            # cover 4x that (next pow2), floored so tiny tables still tile.
+            # cover 2x that (the measured-fastest margin, PERF.md; the
+            # repair branch keeps arbitrary streams exact), floored so
+            # tiny tables still tile.
             span = max((L * T) * block // n_upd, 1024)
-            win = 1 << (span - 1).bit_length()
+            win = max(1024, (1 << (span - 1).bit_length()) // 2)
             out = _gather_blend(table_flat, flat_idx, w, (block, win, 4))
         else:
             feats = jnp.take(table_flat, flat_idx, axis=0)  # (n, L, 8, F)

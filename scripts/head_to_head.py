@@ -47,6 +47,10 @@ def main():
     p.add_argument("--num_rays", type=int, default=2048)
     p.add_argument("--budget", type=int, default=1 << 16)
     p.add_argument("--fine_probes", type=int, default=4)
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="post-Adam update-norm clip (0 = off, the "
+                   "protocol default; the round-5 opaque/textured "
+                   "collapses are the reason this knob exists here)")
     p.add_argument("--eval_images", type=int, default=2)
     p.add_argument("--steps_per_call", type=int, default=25)
     p.add_argument("--seed", type=int, default=42)
@@ -122,6 +126,7 @@ def main():
         field_reg_weight=args.field_reg_weight,
         lr=args.lr,
         table_lr_mult=args.table_lr_mult,
+        grad_clip=args.grad_clip,
         seed=args.seed,
     )
     state = trainer.init_state()

@@ -19,10 +19,92 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.hash_vmem import fold_table, hash_vmem_lookup, plan_lanes
 from ..ops.table_grad import accumulate_table_rows
 
 # tcnn's spatial hash primes (common/grid.h upstream; public constants).
 _PRIMES = (1, 2654435761, 805459861)
+
+
+def _hash_corners(x, resolutions, table_size):
+    """Corner hash ids and trilinear weights for all levels.
+
+    Args:
+        x: (n, 3) positions in [0, 1].
+        resolutions: per-level grid resolutions (length L).
+        table_size: per-level table rows T (power of two).
+
+    Returns:
+        idx: (n, L, 8) int32 per-level hash ids in [0, T).
+        w: (n, L, 8) trilinear corner weights (dx-major corner order).
+    """
+    res = jnp.asarray(resolutions, dtype=x.dtype)  # (L,)
+    pos = x[:, None, :] * res[None, :, None]  # (n, L, 3)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - i0
+    offsets = jnp.asarray(
+        [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+        dtype=jnp.int32,
+    )  # (8, 3)
+    corners = i0[:, :, None, :] + offsets[None, None, :, :]  # (n, L, 8, 3)
+    cx = corners[..., 0].astype(jnp.uint32)
+    cy = corners[..., 1].astype(jnp.uint32)
+    cz = corners[..., 2].astype(jnp.uint32)
+    hashed = (
+        cx * jnp.uint32(_PRIMES[0])
+        ^ cy * jnp.uint32(_PRIMES[1])
+        ^ cz * jnp.uint32(_PRIMES[2])
+    ) & jnp.uint32(table_size - 1)
+    idx = hashed.astype(jnp.int32)
+    wx = jnp.stack([1.0 - frac[..., 0], frac[..., 0]], axis=-1)  # (n, L, 2)
+    wy = jnp.stack([1.0 - frac[..., 1], frac[..., 1]], axis=-1)
+    wz = jnp.stack([1.0 - frac[..., 2], frac[..., 2]], axis=-1)
+    w = (
+        wx[:, :, :, None, None]
+        * wy[:, :, None, :, None]
+        * wz[:, :, None, None, :]
+    ).reshape(idx.shape)
+    return idx, w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _vmem_encode(table, x, cfg):
+    """Fused VMEM hash encode: forward = one Pallas kernel pass.
+
+    ``cfg = (resolutions, block, win)``.  x is NOT differentiable on
+    this path (positions are sampling outputs in every consumer; use
+    lookup='xla' for pose/warp gradients through the encoder).
+    """
+    resolutions, _, _ = cfg
+    l, t, f = table.shape
+    q = plan_lanes(l, f)
+    src = fold_table(table)
+    tr = src.shape[0]
+    n = x.shape[0]
+    n_pad = -(-n // tr) * tr
+    xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    out = hash_vmem_lookup(src, xp, resolutions=resolutions)
+    return out[:n, : l * f * q].reshape(n, l, f, q).sum(-1)
+
+
+def _vmem_encode_fwd(table, x, cfg):
+    return _vmem_encode(table, x, cfg), (table.shape, x)
+
+
+def _vmem_encode_bwd(cfg, res, cot):
+    resolutions, block, win = cfg
+    (l, t, f), x = res
+    idx, w = _hash_corners(x, resolutions, t)  # (n, L, 8) x2
+    level_offset = (jnp.arange(l, dtype=jnp.int32) * t)[None, :, None]
+    rows = (idx + level_offset).reshape(-1)
+    upd = (w[..., None] * cot[:, :, None, :]).reshape(-1, f)
+    g_table = accumulate_table_rows(
+        rows, upd, l * t, block_updates=block, win=win, win_per_block=4
+    ).reshape(l, t, f)
+    return g_table, jnp.zeros_like(x)
+
+
+_vmem_encode.defvjp(_vmem_encode_fwd, _vmem_encode_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -97,6 +179,13 @@ class HashGridEncoder:
     # "sorted_blocks": scatter-free sorted-block table gradient
     # (ops/table_grad.py) — ~3x faster backward at hash-training shapes.
     table_grad: str = "scatter"
+    # "xla": flat HBM row gather (any table size, x-differentiable).
+    # "vmem": fused Pallas kernel with the whole table VMEM-resident
+    # (ops/hash_vmem.py) — interpret-mode reference ONLY: current Mosaic
+    # cannot lower tpu.dynamic_gather past one vreg of source rows (the
+    # measured dead end of VERDICT r4 task 3; see PERF.md).  No
+    # x-gradients on this path; table gradient always via sorted blocks.
+    lookup: str = "xla"
 
     @property
     def table_size(self) -> int:
@@ -145,55 +234,28 @@ class HashGridEncoder:
         n = x.shape[0]
         L, T, F = table.shape
 
-        res = jnp.asarray(self.resolutions, dtype=x.dtype)  # (L,)
+        # Sorted blocks of a uniform stream span ~rows*block/n slots;
+        # cover 2x that (the measured-fastest margin, PERF.md; the
+        # repair branch keeps arbitrary streams exact), floored so
+        # tiny tables still tile.
+        n_upd = max(n * L * 8, 1)
+        block = min(8192, 1 << max(n_upd - 1, 1).bit_length())
+        span = max((L * T) * block // n_upd, 1024)
+        win = max(1024, (1 << (span - 1).bit_length()) // 2)
+
+        if self.lookup == "vmem":
+            if F != 2:
+                raise ValueError("lookup='vmem' supports F=2 tables only")
+            out = _vmem_encode(table, x, (self.resolutions, block, win))
+            return out.reshape(batch_shape + (L * F,))
+
         # Per tcnn: scale by resolution, corners at floor/floor+1.
-        pos = x[:, None, :] * res[None, :, None]  # (n, L, 3)
-        i0 = jnp.floor(pos).astype(jnp.int32)
-        frac = pos - i0
-
-        # 8 corner offsets.
-        offsets = jnp.asarray(
-            [
-                [dx, dy, dz]
-                for dx in (0, 1)
-                for dy in (0, 1)
-                for dz in (0, 1)
-            ],
-            dtype=jnp.int32,
-        )  # (8, 3)
-        corners = i0[:, :, None, :] + offsets[None, None, :, :]  # (n, L, 8, 3)
-
-        cx = corners[..., 0].astype(jnp.uint32)
-        cy = corners[..., 1].astype(jnp.uint32)
-        cz = corners[..., 2].astype(jnp.uint32)
-        hashed = (
-            cx * jnp.uint32(_PRIMES[0])
-            ^ cy * jnp.uint32(_PRIMES[1])
-            ^ cz * jnp.uint32(_PRIMES[2])
-        ) & jnp.uint32(T - 1)
-        idx = hashed.astype(jnp.int32)  # (n, L, 8)
-
+        idx, w = _hash_corners(x, self.resolutions, T)  # (n, L, 8) x2
         level_offset = (jnp.arange(L, dtype=jnp.int32) * T)[None, :, None]
         flat_idx = idx + level_offset  # (n, L, 8)
 
-        # Trilinear weights matching the corner offset order.
-        wx = jnp.stack([1.0 - frac[..., 0], frac[..., 0]], axis=-1)  # (n, L, 2)
-        wy = jnp.stack([1.0 - frac[..., 1], frac[..., 1]], axis=-1)
-        wz = jnp.stack([1.0 - frac[..., 2], frac[..., 2]], axis=-1)
-        w = (
-            wx[:, :, :, None, None] * wy[:, :, None, :, None] * wz[:, :, None, None, :]
-        ).reshape(n, L, 8)  # (n, L, 8)
-
         table_flat = table.reshape(L * T, F)
         if self.table_grad == "sorted_blocks":
-            n_upd = max(n * L * 8, 1)
-            block = min(8192, 1 << max(n_upd - 1, 1).bit_length())
-            # Sorted blocks of a uniform stream span ~rows*block/n slots;
-            # cover 2x that (the measured-fastest margin, PERF.md; the
-            # repair branch keeps arbitrary streams exact), floored so
-            # tiny tables still tile.
-            span = max((L * T) * block // n_upd, 1024)
-            win = max(1024, (1 << (span - 1).bit_length()) // 2)
             out = _gather_blend(table_flat, flat_idx, w, (block, win, 4))
         else:
             feats = jnp.take(table_flat, flat_idx, axis=0)  # (n, L, 8, F)

@@ -128,6 +128,9 @@ class NGPRadianceField:
     max_eval_chunk: int = 2**15
     # Table-gradient path for the hash encoder (see HashGridEncoder).
     table_grad: str = "sorted_blocks"
+    # Lookup path: "xla" flat gather, or "vmem" (interpret-mode-only
+    # fused Pallas kernel — the measured Mosaic dead end, ops/hash_vmem.py).
+    hash_lookup: str = "xla"
 
     def __post_init__(self):
         object.__setattr__(
@@ -140,6 +143,7 @@ class NGPRadianceField:
                 base_resolution=self.base_resolution,
                 max_resolution=self.max_resolution,
                 table_grad=self.table_grad,
+                lookup=self.hash_lookup,
             ),
         )
 
@@ -236,6 +240,7 @@ class NGPDensityField:
     compute_dtype: Any = jnp.bfloat16
     max_eval_chunk: int = 2**16  # see NGPRadianceField.max_eval_chunk
     table_grad: str = "sorted_blocks"  # see HashGridEncoder
+    hash_lookup: str = "xla"  # see NGPRadianceField.hash_lookup
 
     def __post_init__(self):
         object.__setattr__(
@@ -248,6 +253,7 @@ class NGPDensityField:
                 base_resolution=self.base_resolution,
                 max_resolution=self.max_resolution,
                 table_grad=self.table_grad,
+                lookup=self.hash_lookup,
             ),
         )
 

@@ -1,10 +1,27 @@
 """VMEM-resident fused multiresolution hash-grid lookup (Pallas TPU).
 
-The XLA hash-encoder forward is one flat HBM row gather at ~7.3 ns/index
-(scripts/hash_bwd_probe.py) — ~62 ms per 2^16-sample NGP evaluation.
-This kernel keeps the WHOLE multi-level table on-chip and evaluates every
-level of every sample with 8 ``tpu.dynamic_gather`` passes (one per
-trilinear corner), computing hash indices and corner weights in-kernel.
+STATUS: MEASURED DEAD END on current Mosaic — kept as the executable
+record of the experiment (VERDICT r4 task 3) and as an interpret-mode
+reference for a future gather primitive.  ``tpu.dynamic_gather`` refuses
+any source spanning more than ONE vreg along the gathered dimension:
+
+    Not implemented: Multiple source vregs along gather dimension
+    (vector<512x128xf32> source; T=16 f32 already fails, T=8 lowers)
+
+i.e. per-lane tables are capped at 8 f32 rows — five orders of magnitude
+short of a 2^19-row hash level.  Composing bigger tables from 8-row
+gathers (range-select over T/8 chunks) or per-sample scalar-core DMAs
+multiplies work by T/8 resp. issues ~67M sequential DMAs per step; both
+are strictly worse than the XLA HBM gather floor (~7.3 ns/index,
+scripts/hash_bwd_probe.py).  Conclusion recorded in PERF.md: on this
+hardware generation there is no on-chip random-gather path faster than
+XLA's, and the factorized/matmul fields remain the TPU-native answer to
+the hash-grid quality role.
+
+The kernel below is complete and interpret-mode exact: it keeps the
+whole multi-level table on-chip and evaluates every level of every
+sample with 8 ``tpu.dynamic_gather`` passes (one per trilinear corner),
+computing hash indices and corner weights in-kernel.
 
 Layout (the Mosaic gather lowers only same-shape 2-D per-lane operands,
 see ops/lane_gather.py):
@@ -160,7 +177,7 @@ def hash_vmem_lookup(
     x: jnp.ndarray,
     *,
     resolutions: tuple,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused multi-level hash lookup with the table VMEM-resident.
 
@@ -169,7 +186,8 @@ def hash_vmem_lookup(
         x: ``(n, 3)`` positions in [0, 1]; ``n`` must be a multiple of
             ``Tr`` (pad and mask at the caller).
         resolutions: per-level grid resolutions (length L).
-        interpret: Pallas interpret mode for CPU tests.
+        interpret: Pallas interpret mode; default (None) auto-enables
+            it off-TPU so CPU tests exercise the same call path.
 
     Returns:
         ``(n, 128)`` per-lane weighted corner sums; fold lanes of the
@@ -179,6 +197,8 @@ def hash_vmem_lookup(
     t_res = src.shape[0]
     n = x.shape[0]
     l = len(resolutions)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if n % t_res:
         raise ValueError(
             f"samples ({n}) must be a multiple of the folded table "

@@ -8,12 +8,12 @@ must be 2-D and **same-shape** — src, idx and out are all ``(T, 128)``
 per call, so the sample-block height is pinned to the table height.
 
 Role: the building block for a VMEM-resident multiresolution hash-grid
-lookup (VERDICT r4 task 3).  A ``(T, 128)`` f32 src packs
-``128 / (L * F)`` replicas of an L-level, F-feature table stack; one call
-then evaluates every resident level for T samples per corner group.  The
-XLA alternative is a flat HBM row gather at ~7.3 ns/index
-(scripts/hash_bwd_probe.py) — per-lane VMEM gathers are measured in
-scripts/pallas_gather_probe2.py.
+lookup (VERDICT r4 task 3).  STATUS: dead end on current Mosaic — the
+lowering additionally requires the source to fit ONE vreg along the
+gathered dimension ("Not implemented: Multiple source vregs along gather
+dimension"; T=8 f32 lowers, T=16 does not), so per-lane tables cap at
+8 rows.  Kept interpret-mode tested as the reference semantics for a
+future primitive; see ops/hash_vmem.py and PERF.md for the full verdict.
 
 Reference role: tcnn HashGrid forward (reference
 examples/radiance_fields/ngp.py:110-163); the reference fuses hash +

@@ -61,6 +61,32 @@ def test_vmem_lookup_small_level_count():
     )
 
 
+def test_encoder_vmem_lookup_fwd_and_table_grad():
+    kw = dict(
+        n_levels=8, n_features_per_level=2, log2_hashmap_size=11,
+        base_resolution=4, max_resolution=64,
+    )
+    enc_x = HashGridEncoder(**kw)
+    enc_v = HashGridEncoder(**kw, lookup="vmem")
+    table = enc_x.init(jax.random.PRNGKey(0)) * 1e4
+    x = jax.random.uniform(jax.random.PRNGKey(1), (200, 3))
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (200, enc_x.output_dim))
+
+    np.testing.assert_allclose(
+        np.asarray(enc_v(table, x)), np.asarray(enc_x(table, x)),
+        atol=1e-5, rtol=1e-5,
+    )
+
+    def loss(enc):
+        return lambda tab: jnp.sum((enc(tab, x) - tgt) ** 2)
+
+    gx = jax.grad(loss(enc_x))(table)
+    gv = jax.grad(loss(enc_v))(table)
+    np.testing.assert_allclose(
+        np.asarray(gv), np.asarray(gx), atol=1e-3, rtol=1e-4
+    )
+
+
 def test_fold_table_roundtrip_lane_layout():
     L, T, F = 4, 64, 2
     q = plan_lanes(L, F)

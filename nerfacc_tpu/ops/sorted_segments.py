@@ -159,22 +159,70 @@ def exclusive_sum_sorted(
     ``seg_starts`` / ``seg_ends``: optional precomputed (n_rays,) first/last
     slot of each segment (e.g. from ``CompactSamples``); avoids searchsorted.
 
-    ``nonnegative``: promise that ``vals >= 0`` (true for sigma*dt).  Then the
-    global exclusive sum is nondecreasing and the per-sample segment offset
-    is a running max over flagged segment starts — a cummax instead of a
-    boundary gather + per-sample table gather (~2 ms cheaper at 2^18 on TPU).
+    ``nonnegative``: promise that ``vals >= 0`` (true for sigma*dt).  Then
+    the forward switches to a BLOCK-DECOMPOSED evaluation whose error is
+    relative to the segment-local true value instead of the global running
+    magnitude.  The naive form (global f32 cumsum, subtract the value at the
+    segment start) carries absolute error ~eps * global_cumsum: at 2^18
+    samples of capped optical depth the global sum reaches 1e6+ and the
+    measured transmittance error hits 0.35 (scripts/diag_eval_break.py, the
+    round-5 opaque eval break).  Decomposed:
+
+        excl_seg(i) = p(i) + rangesum(t_b, [b_s, b_i)) - p(s)
+
+    with ``p`` the within-block exclusive prefix (reshaped cumsum, error
+    <= eps * block_sum <= eps * 40 * L), ``t_b`` the per-block totals summed
+    over the segment's own block range by an exact 3-limb one-hot matmul
+    (f32-accumulated, so error ~ eps * true range sum — RELATIVE), and the
+    segment-start pair (b_s, p_s) spread per sample by the bit-exact
+    :func:`spread_table`.  Result clamped at 0 (exact under the vals >= 0
+    contract).
     """
     n = vals.shape[0]
+    if nonnegative:
+        L = 128
+        n_pad = -(-n // L) * L
+        v = jnp.pad(vals, (0, n_pad - n)) if n_pad != n else vals
+        v2 = v.reshape(n_pad // L, L)
+        incl_b = jnp.cumsum(v2, axis=1)
+        p_flat = (incl_b - v2).reshape(-1)
+        t_b = incl_b[:, -1]  # (B,) block totals
+        B = n_pad // L
+
+        starts = _resolve_bounds(ids, n_rays, seg_starts, seg_ends, "starts")
+        sc = jnp.clip(starts, 0, n - 1)
+        start_tab = jnp.stack(
+            [(sc // L).astype(jnp.float32), jnp.take(p_flat, sc)], axis=1
+        )  # (n_rays, 2): [block of segment start, prefix within that block]
+        sp = spread_table(start_tab, ids, n_rays)  # exact; fill ids -> 0
+        b_s, p_s = sp[:, 0], sp[:, 1]
+
+        iota = jnp.arange(n, dtype=jnp.int32)
+        b_i = (iota // L).astype(jnp.float32)
+        arange_b = jnp.arange(B, dtype=jnp.float32)
+        # 3-limb exact range-sum matmul (same barrier discipline as
+        # spread_table: see the comment there for why both are required)
+        tb2 = t_b[:, None]
+        hi = jax.lax.optimization_barrier(tb2.astype(jnp.bfloat16))
+        r1 = tb2 - hi.astype(jnp.float32)
+        mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        limbs = jnp.concatenate([hi, mid, lo], axis=1)  # (B, 3)
+        mask = (
+            (arange_b[None, :] >= b_s[:, None])
+            & (arange_b[None, :] < b_i[:, None])
+        ).astype(jnp.bfloat16)
+        out3 = jax.lax.dot_general(
+            mask, limbs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        parts = jax.lax.optimization_barrier(
+            (out3[:, 0], out3[:, 1], out3[:, 2])
+        )
+        rangesum = (parts[0] + parts[1]) + parts[2]
+        return jnp.maximum(p_flat[:n] + rangesum - p_s, 0.0)
     incl = jnp.cumsum(vals)
     excl = incl - vals
-    if nonnegative:
-        is_start = jnp.concatenate(
-            [jnp.ones((1,), bool), ids[1:] != ids[:-1]]
-        )
-        off = jax.lax.associative_scan(
-            jax.lax.max, jnp.where(is_start, excl, 0.0)
-        )
-        return excl - off
     starts = _resolve_bounds(ids, n_rays, seg_starts, seg_ends, "starts")
     seg_off = jnp.take(excl, jnp.clip(starts, 0, n - 1))
     return excl - _take_table(seg_off, ids, n_rays)

@@ -606,9 +606,14 @@ def make_pooled_eval_round(
             rays_mask=alive,
         )
         # resumable transmittance rides the compaction payload: one cheap
-        # per-window gather instead of any per-sample lookup
+        # per-window gather instead of any per-sample lookup.  Clamp to
+        # [0, 1]: fp overshoot can push accumulated opacity slightly past 1,
+        # and a NEGATIVE prefix would flip this round's weights and set up
+        # an amplifying opacity oscillation across rounds (the round-5
+        # opaque eval break, scripts/diag_eval_break.py).
         prefix_w = jnp.take(
-            1.0 - opacity[:, 0], jnp.minimum(ws.ray_ids, n_rays - 1)
+            jnp.clip(1.0 - opacity[:, 0], 0.0, 1.0),
+            jnp.minimum(ws.ray_ids, n_rays - 1),
         )
         samples = compact_samples_from_windows(
             ws, budget, n_rays, extras=prefix_w,
@@ -715,8 +720,11 @@ def make_cursor_eval_chunk(
         far = jnp.full((n_rays,), far_plane, dtype)
 
         def composite(ws, color, opacity, depth):
+            # clamped like make_pooled_eval_round: a negative prefix from
+            # opacity overshoot amplifies round-over-round (eval break).
             prefix_w = jnp.take(
-                1.0 - opacity[:, 0], jnp.minimum(ws.ray_ids, n_rays - 1)
+                jnp.clip(1.0 - opacity[:, 0], 0.0, 1.0),
+                jnp.minimum(ws.ray_ids, n_rays - 1),
             )
             samples = compact_samples_from_windows(
                 ws, sample_budget, n_rays, extras=prefix_w,

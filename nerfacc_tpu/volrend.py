@@ -87,6 +87,17 @@ def render_transmittance_from_density(
     """
     sigmas_dt = sigmas * (t_ends - t_starts)
     sigmas_dt = _apply_mask(sigmas_dt, masks, 0.0)
+    # Saturate the per-sample optical depth.  Observably exact: at 40,
+    # alpha = 1 - 4e-18 and every later sample's transmittance is 0 to f32,
+    # and the true gradient (exp(-x)) is already ~0 there.  Load-bearing for
+    # numerics: the segmented exclusive sum below rides ONE GLOBAL f32
+    # cumsum whose rounding error scales with the global running magnitude —
+    # uncapped hard-surface densities (trunc_exp admits 1e13; sigma*dt
+    # ~5e10/sample) push that error to O(1)..O(1e8), producing trans > 1 /
+    # negative exclusive sums and, downstream, weight sums past the prefix
+    # (measured: the round-5 opaque eval break, scripts/diag_eval_break.py
+    # — 16 pixels at -74 from compounding prefix oscillation).
+    sigmas_dt = jnp.minimum(sigmas_dt, 40.0)
     alphas = 1.0 - jnp.exp(-sigmas_dt)
     if indices_sorted and ray_indices is not None and n_rays is not None:
         # Sorted flat layout (compacted buffers): scatter/reverse-free

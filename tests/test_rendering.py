@@ -188,3 +188,55 @@ def test_padded_vs_flattened_equivalence():
         w_flat, values=flat(t_starts)[:, None], ray_indices=ray_ids, n_rays=n_rays
     )
     np.testing.assert_allclose(acc_pad, acc_flat, rtol=1e-5, atol=1e-6)
+
+
+def test_extreme_density_weights_bounded():
+    """Hard-surface densities (up to the trunc_exp cap, 1e13) must not
+    corrupt transmittance: the sorted-segment exclusive sum rides one GLOBAL
+    f32 cumsum, and uncapped sigma*dt (~5e10/sample) used to inflate its
+    rounding error to O(1)+ — trans > 1, per-ray weight sums past 1, and the
+    round-5 opaque eval break (scripts/diag_eval_break.py).  The optical-
+    depth saturation in render_transmittance_from_density keeps the result
+    within fp noise of the float64 per-segment oracle."""
+    rng = np.random.default_rng(0)
+    n_rays, total = 64, 1 << 14
+    counts = rng.multinomial(total - n_rays, np.ones(n_rays) / n_rays) + 1
+    ray_ids = np.repeat(np.arange(n_rays), counts)
+    dt = rng.uniform(4e-3, 6e-3, total)
+    t0 = np.concatenate(
+        [np.cumsum(dt[ray_ids == r]) for r in range(n_rays)]
+    )
+    t1 = t0 + dt
+    # log-uniform densities spanning soft to the trunc_exp forward cap
+    sigmas = 10.0 ** rng.uniform(-1, 13, total)
+
+    seg_starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    seg_ends = (np.cumsum(counts) - 1).astype(np.int32)
+    w, tr, al = render_weight_from_density(
+        jnp.asarray(t0, jnp.float32), jnp.asarray(t1, jnp.float32),
+        jnp.asarray(sigmas, jnp.float32),
+        ray_indices=jnp.asarray(ray_ids, jnp.int32), n_rays=n_rays,
+        indices_sorted=True,
+        seg_starts=jnp.asarray(seg_starts), seg_ends=jnp.asarray(seg_ends),
+    )
+    w, tr, al = np.asarray(w), np.asarray(tr), np.asarray(al)
+    assert np.isfinite(w).all() and np.isfinite(tr).all()
+    assert tr.max() <= 1.0 + 1e-3
+    assert w.min() >= -1e-3
+    wsums = np.zeros(n_rays)
+    np.add.at(wsums, ray_ids, w)
+    # per-ray weight sums bounded by 1 within the block-decomposed
+    # exclusive-sum error (~eps * block_sum, <= ~1e-3; was 0.01+ with the
+    # global-cumsum forward)
+    assert wsums.max() <= 1.0 + 1e-3
+
+    # float64 per-segment oracle
+    sdt = np.minimum(sigmas * dt, 40.0)
+    excl = np.concatenate(
+        [np.cumsum(sdt[ray_ids == r]) - sdt[ray_ids == r]
+         for r in range(n_rays)]
+    )
+    tr_ref = np.exp(-excl)
+    al_ref = 1.0 - np.exp(-sdt)
+    np.testing.assert_allclose(tr, tr_ref, atol=1e-3)
+    np.testing.assert_allclose(w, tr_ref * al_ref, atol=1e-3)
